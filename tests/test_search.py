@@ -1,0 +1,141 @@
+"""Search-operator and evolver tests.
+
+The end-to-end test drives the full search loop with the synthetic accuracy
+predictor pattern from the reference's only executable integration test
+(search_utils/evolver.py:119-236) — no model or data needed.
+"""
+
+import math
+
+import numpy as np
+import pytest
+
+from vit_search_tpu.arch import ComputationEstimator, presets, spaces
+from vit_search_tpu.arch import network_def as nd
+from vit_search_tpu.search import (PopulationEvolver, gen_random_network_def,
+                                   generators, mutate_network_def,
+                                   crossover_network_def)
+
+LARGEST = presets.SUPERNET_SR_TINY
+SPACE = spaces.get_space("sr_tiny")
+EST = ComputationEstimator(distill=True, input_resolution=224, patch_size=14)
+CONSTRAINT = EST(LARGEST) * 0.37
+LO = generators.RESOURCE_LOWER_BOUND * CONSTRAINT
+
+
+def _check_in_space(net):
+    nd.validate(net)
+    for i, block in enumerate(net):
+        keep = SPACE[i]
+        btype = nd.block_type(block)
+        if btype in nd.EMBED_TYPES:
+            assert block[1] in [int(x) for x in keep]
+        elif btype == nd.SPATIAL_REDUCTION:
+            assert block[2] in [int(x) for x in keep]
+        elif btype == nd.TRANSFORMER:
+            tdef = nd.transformer_def(block)
+            if tdef.exists:
+                assert tdef.attn_width in [int(x) for x in keep["attn"]]
+                assert tdef.ffn_hidden in [int(x) for x in keep["mlp"]]
+
+
+def test_random_samples_land_in_band():
+    rng = np.random.default_rng(0)
+    for _ in range(5):
+        net = gen_random_network_def(LARGEST, SPACE, CONSTRAINT, EST, rng=rng)
+        assert LO <= EST(net) <= CONSTRAINT
+        _check_in_space(net)
+
+
+def test_mutation_stays_in_space_and_band():
+    rng = np.random.default_rng(1)
+    parent = gen_random_network_def(LARGEST, SPACE, CONSTRAINT, EST, rng=rng)
+    child = mutate_network_def(parent, SPACE, 0.3, CONSTRAINT, EST, rng=rng)
+    assert LO <= EST(child) <= CONSTRAINT
+    _check_in_space(child)
+
+
+def test_crossover_mixes_parents():
+    rng = np.random.default_rng(2)
+    a = gen_random_network_def(LARGEST, SPACE, CONSTRAINT, EST, rng=rng)
+    b = gen_random_network_def(LARGEST, SPACE, CONSTRAINT, EST, rng=rng)
+    c = crossover_network_def(a, b, SPACE, CONSTRAINT, EST, rng=rng)
+    assert LO <= EST(c) <= CONSTRAINT
+    _check_in_space(c)
+    # every gene comes from one of the parents
+    for i, block in enumerate(c):
+        if nd.block_type(block) == nd.TRANSFORMER:
+            assert block[1][1] in (a[i][1][1], b[i][1][1])
+            assert block[2][1] in (a[i][2][1], b[i][2][1])
+
+
+def test_prune_only_moves_down():
+    rng = np.random.default_rng(3)
+    net = nd.to_mutable(LARGEST)
+    before = EST(net)
+    for _ in range(10):
+        net = generators.prune_random_one(net, SPACE, rng=rng)
+        after = EST(net)
+        assert after <= before
+        before = after
+
+
+def test_determinism_with_seed():
+    a = gen_random_network_def(LARGEST, SPACE, CONSTRAINT, EST,
+                               rng=np.random.default_rng(42))
+    b = gen_random_network_def(LARGEST, SPACE, CONSTRAINT, EST,
+                               rng=np.random.default_rng(42))
+    assert a == b
+
+
+def _synthetic_accuracy(largest):
+    """Closed-form score favouring wide/deep nets (reference evolver self-test)."""
+    def compute_score(net):
+        score = 0.0
+        for i, block in enumerate(net):
+            depth_factor = (11.0 + i) / 8.0
+            if nd.block_type(block) == nd.TRANSFORMER and block[3]:
+                embed = block[1][0]
+                score += block[1][1] * block[1][2] * depth_factor * 2 * math.sqrt(embed)
+                score += block[2][1] * depth_factor * math.sqrt(embed)
+        return score
+
+    max_score = compute_score(largest)
+    return lambda net: compute_score(net) / max_score
+
+
+def test_full_search_loop_with_synthetic_predictor():
+    predictor = _synthetic_accuracy(LARGEST)
+    evolver = PopulationEvolver(LARGEST, SPACE, CONSTRAINT, EST, seed=0)
+
+    best_per_iter = []
+    for it in range(4):
+        if it == 0:
+            evolver.random_sample(num_samples=24)
+        else:
+            evolver.evolve_sample(parent_size=10, mutate_prob=0.3, mutate_size=8)
+        assert len(evolver.popu) in (24, 16)
+        # no duplicates within generation or against history
+        defs = [ind.network_def for ind in evolver.popu]
+        assert len(set(defs)) == len(defs)
+        for ind in evolver.popu:
+            ind.score = predictor(ind.network_def)
+        evolver.update_history()
+        evolver.sort_history()
+        best_per_iter.append(evolver.best().score)
+
+    # search makes monotone progress on the synthetic landscape
+    assert best_per_iter[-1] >= best_per_iter[0]
+    assert all(LO <= EST(i.network_def) <= CONSTRAINT for i in evolver.history_popu)
+
+
+def test_evolver_guards():
+    evolver = PopulationEvolver(LARGEST, SPACE, CONSTRAINT, EST, seed=0)
+    with pytest.raises(RuntimeError):
+        evolver.evolve_sample(parent_size=2, mutate_prob=0.3, mutate_size=2)
+    evolver.random_sample(4)
+    with pytest.raises(RuntimeError):
+        evolver.evolve_sample(parent_size=2, mutate_prob=0.3, mutate_size=2)
+    evolver.update_history()
+    with pytest.raises(ValueError):
+        evolver.evolve_sample(parent_size=100, mutate_prob=0.3, mutate_size=2)
