@@ -1,0 +1,191 @@
+"""Training-layer integration tests (tiny nets, synthetic data, CPU mesh)."""
+
+import os
+import tempfile
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vit_search_tpu.models import SupernetSchedules, VisionTransformerSR
+from vit_search_tpu.parallel import create_mesh, replicate, shard_batch
+from vit_search_tpu.train import (CheckpointManager, OptimConfig, TrainConfig,
+                                  TrainState, cosine_schedule, make_eval_step,
+                                  make_optimizer, make_train_step,
+                                  restore_raw, weight_decay_mask)
+
+NET = ((0, 16),
+       (1, (16, 2, 8), (16, 32), 1),
+       (3, 16, 32),
+       (1, (32, 2, 16), (32, 64), 1),
+       (2, 32, 4))
+IMG, PATCH, NCLS = 28, 7, 4
+
+
+def _model(**kw):
+    return VisionTransformerSR(network_def=NET, img_size=IMG, patch_size=PATCH,
+                               num_classes=NCLS, **kw)
+
+
+def _synthetic_batch(rng, batch=8):
+    labels = rng.integers(0, NCLS, size=(batch,))
+    # images whose mean encodes the class -> easy to fit
+    images = rng.normal(size=(batch, IMG, IMG, 3)).astype(np.float32) * 0.1
+    images += labels[:, None, None, None].astype(np.float32) / NCLS
+    return jnp.asarray(images), jnp.asarray(labels)
+
+
+def _fit(config, steps=12, use_ema=False, model=None):
+    model = model or _model()
+    x, y = _synthetic_batch(np.random.default_rng(0))
+    variables = model.init(jax.random.PRNGKey(0), x)
+    ocfg = OptimConfig(base_lr=2e-3, warmup_epochs=0, epochs=1,
+                       steps_per_epoch=steps, global_batch_size=512,
+                       weight_decay=0.01)
+    tx = make_optimizer(ocfg, variables["params"])
+    state = TrainState.create(variables["params"], tx,
+                              variables.get("batch_stats"), use_ema=use_ema)
+    step = make_train_step(model, tx, config, schedule=cosine_schedule(ocfg))
+    losses = []
+    for _ in range(steps):
+        state, metrics = step(state, x, y, None, jax.random.PRNGKey(1))
+        losses.append(float(metrics["loss"]))
+    return model, state, losses
+
+
+def test_loss_decreases_plain():
+    _, state, losses = _fit(TrainConfig(num_classes=NCLS, smoothing=0.1))
+    assert losses[-1] < losses[0]
+    assert np.isfinite(losses).all()
+    assert int(state.step) == len(losses)
+
+
+def test_loss_decreases_with_mixup_and_token_mixup():
+    for mode in ("mixup", "token"):
+        model = _model(patch_output=True) if mode == "token" else _model()
+        _, _, losses = _fit(TrainConfig(num_classes=NCLS, mixup_mode=mode,
+                                        patch_len=2), model=model)
+        assert np.isfinite(losses).all(), mode
+        assert losses[-1] < losses[0] * 1.5, (mode, losses)
+
+
+def test_supernet_training_step_with_sampled_counts():
+    import vit_search_tpu.arch.network_def  # noqa: F401
+
+    model = _model()
+    space = [np.array([16, 8]),
+             {"attn": np.array([16, 8]), "mlp": np.array([32, 16]), "layer": None},
+             np.array([32, 16]),
+             {"attn": np.array([32, 16]), "mlp": np.array([64, 32]),
+              "layer": np.array([32, 0])},
+             None]
+    sched = SupernetSchedules(NET, space, example_per_arch=2,
+                              num_warmup_epochs=0, arch_mode="multi")
+    x, y = _synthetic_batch(np.random.default_rng(0))
+    variables = model.init(jax.random.PRNGKey(0), x)
+    ocfg = OptimConfig(base_lr=1e-3, warmup_epochs=0, epochs=1, steps_per_epoch=8)
+    tx = make_optimizer(ocfg, variables["params"])
+    state = TrainState.create(variables["params"], tx)
+    step = make_train_step(model, tx, TrainConfig(num_classes=NCLS))
+    host_rng = np.random.default_rng(0)
+    losses = []
+    for _ in range(8):
+        counts = sched.sample(host_rng, batch=x.shape[0])
+        state, metrics = step(state, x, y, counts, jax.random.PRNGKey(2))
+        losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+
+
+def test_ema_tracks_params():
+    cfg = TrainConfig(num_classes=NCLS, ema_decay=0.5)
+    _, state, _ = _fit(cfg, steps=6, use_ema=True)
+    # EMA must differ from params but stay close after warm steps
+    diff = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()),
+                        state.params, state.ema_params)
+    max_diff = max(jax.tree.leaves(diff))
+    assert 0 < max_diff < 1.0
+
+
+def test_eval_step_metrics():
+    model = _model(distill_token=True)
+    x, y = _synthetic_batch(np.random.default_rng(1))
+    variables = model.init(jax.random.PRNGKey(0), x)
+    ev = make_eval_step(model)
+    metrics = ev(variables["params"], None, x, y)
+    assert float(metrics["count"]) == x.shape[0]
+    for key in ("top1", "top5", "dst_top1", "jnt_top1", "loss_sum"):
+        assert key in metrics
+    assert 0 <= float(metrics["top1"]) <= x.shape[0]
+    assert float(metrics["top5"]) >= float(metrics["top1"])
+
+
+def test_weight_decay_mask_excludes_tokens_and_1d():
+    model = _model()
+    x, _ = _synthetic_batch(np.random.default_rng(0), batch=2)
+    params = model.init(jax.random.PRNGKey(0), x)["params"]
+    mask = weight_decay_mask(params)
+    assert mask["tokens"] is False
+    assert mask["norm"]["scale"] is False
+    assert mask["cls_head"]["kernel"] is True
+    assert mask["pos_embed"] is True  # reference decays pos_embed (3-D param)
+
+
+def test_cosine_schedule_curve():
+    cfg = OptimConfig(base_lr=5e-4, min_lr=1e-5, warmup_lr=1e-6,
+                      warmup_epochs=5, epochs=100, steps_per_epoch=10,
+                      global_batch_size=1024)
+    sched = cosine_schedule(cfg)
+    assert float(sched(0)) == pytest.approx(1e-6, rel=1e-3)
+    assert float(sched(50)) == pytest.approx(cfg.scaled_lr, rel=1e-3)  # peak=1e-3
+    assert float(sched(1000)) == pytest.approx(1e-5, rel=1e-2)
+    assert cfg.scaled_lr == pytest.approx(5e-4 * 2)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    cfg = TrainConfig(num_classes=NCLS)
+    model, state, _ = _fit(cfg, steps=3)
+    mgr = CheckpointManager(str(tmp_path / "ckpt"), snapshot_every=2)
+    mgr.save_epoch(state, epoch=1, metadata={"acc": 12.5}, is_best=True)
+    assert mgr.exists("checkpoint") and mgr.exists("best") and mgr.exists("epoch@1")
+
+    fresh_model, fresh_state, _ = _fit(cfg, steps=1)
+    restored, meta = mgr.restore("checkpoint", fresh_state)
+    assert meta["epoch"] == 1 and meta["acc"] == 12.5
+    for a, b in zip(jax.tree.leaves(restored.params), jax.tree.leaves(state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    raw = restore_raw(str(tmp_path / "ckpt" / "best"))
+    assert "params" in raw
+    assert raw["metadata"]["acc"] == 12.5
+
+
+def test_data_parallel_step_on_mesh():
+    """The multi-chip path: params replicated, batch sharded over 8 CPU
+    devices; GSPMD inserts the gradient psum."""
+    mesh = create_mesh()
+    assert mesh.devices.size == 8
+    model = _model()
+    x, y = _synthetic_batch(np.random.default_rng(0), batch=16)
+    variables = model.init(jax.random.PRNGKey(0), x)
+    ocfg = OptimConfig(base_lr=1e-3, warmup_epochs=0, epochs=1, steps_per_epoch=4)
+    tx = make_optimizer(ocfg, variables["params"])
+    state = TrainState.create(variables["params"], tx)
+    step = make_train_step(model, tx, TrainConfig(num_classes=NCLS), donate=False)
+
+    state = replicate(mesh, state)
+    xs, ys = shard_batch(mesh, (x, y))
+    losses = []
+    for _ in range(4):
+        state, metrics = step(state, xs, ys, None, jax.random.PRNGKey(0))
+        losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+
+    # single-device result matches the sharded result (same math)
+    state2 = TrainState.create(variables["params"], tx)
+    step2 = make_train_step(model, tx, TrainConfig(num_classes=NCLS), donate=False)
+    for _ in range(4):
+        state2, m2 = step2(state2, x, y, None, jax.random.PRNGKey(0))
+    np.testing.assert_allclose(losses[-1], float(m2["loss"]), rtol=1e-4)

@@ -1,0 +1,73 @@
+"""Device mesh and sharding helpers.
+
+The reference's distributed runtime is NCCL process groups + DDP
+(utils.py:241-307, main.py:366-370).  The TPU-native equivalent is a
+``jax.sharding.Mesh`` with a data axis: parameters are replicated, batches
+are sharded over ``'data'``, and XLA GSPMD inserts the gradient psum over
+ICI — there is no hand-written collective in the training code.
+
+Multi-host (multi-slice) runs initialize ``jax.distributed`` and shard the
+global batch per process (replacing the reference's rank-sharded samplers,
+samplers.py:39-57).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+
+
+def create_mesh(devices: Optional[Sequence[jax.Device]] = None,
+                axis_names: Sequence[str] = (DATA_AXIS,)) -> Mesh:
+    """1-D data-parallel mesh over all (or the given) devices."""
+    devices = list(devices if devices is not None else jax.devices())
+    return Mesh(np.asarray(devices).reshape(len(devices)), axis_names=tuple(axis_names))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch) axis over the data axis."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, tree: Any) -> Any:
+    """Place host arrays with the batch axis sharded over the mesh."""
+    sharding = batch_sharding(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def replicate(mesh: Mesh, tree: Any) -> Any:
+    sharding = replicated(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def init_distributed(coordinator_address: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> None:
+    """Multi-host bring-up (reference ``init_distributed_mode`` analogue).
+
+    On single-host runs this is a no-op; on pods, JAX reads the cluster env
+    (or the explicit arguments) and joins the coordination service — the
+    DCN-level replacement for ``torch.distributed.init_process_group``
+    (reference utils.py:285-306).
+    """
+    if num_processes is not None and num_processes > 1:
+        jax.distributed.initialize(coordinator_address=coordinator_address,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
+
+
+def process_count() -> int:
+    return jax.process_count()
+
+
+def is_main_process() -> bool:
+    return jax.process_index() == 0
