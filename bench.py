@@ -1,0 +1,95 @@
+"""Benchmark: ViT-ResNAS-Tiny supernet training throughput (imgs/sec/chip).
+
+The north-star metric (BASELINE.md): ImageNet images/sec/chip for supernet
+training of the ViT-ResNAS-Tiny search space, target >=2x the 8xV100
+reference throughput per chip.  The reference publishes no number; the
+baseline constant below is an estimate for one V100 running the reference
+recipe (bs 128/GPU, AMP fp16, ~3.5G MAC supernet with masking overhead —
+comparable published DeiT-S V100 training throughput is ~345 img/s/GPU).
+
+Runs the full supernet train step exactly as training does: device-side
+token mixup, multi-architecture channel masks (keep counts resampled every
+step on host, never retracing), forward+backward, AdamW, bf16 compute.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+V100_BASELINE_IMGS_PER_SEC_PER_CHIP = 350.0  # estimated (see module docstring)
+
+BATCH = int(os.environ.get("BENCH_BATCH", "128"))
+EXAMPLE_PER_ARCH = int(os.environ.get("BENCH_EPA", "8"))
+STEPS = int(os.environ.get("BENCH_STEPS", "20"))
+WARMUP = int(os.environ.get("BENCH_WARMUP", "3"))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from vit_search_tpu.arch import presets, spaces
+    from vit_search_tpu.models import SupernetSchedules, create_model
+    from vit_search_tpu.train import (OptimConfig, TrainConfig, TrainState,
+                                      cosine_schedule, make_optimizer,
+                                      make_train_step)
+
+    net = presets.SUPERNET_SR_TINY_MH
+    space = spaces.get_space("sr_tiny_mh")
+    model = create_model("flexible_vit_sr_patch14_224_patch_output_supernet",
+                         network_def=net, dtype=jnp.bfloat16,
+                         drop_path_rate=0.2)
+
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.normal(size=(BATCH, 224, 224, 3)).astype(np.float32))
+    labels = jnp.asarray(rng.integers(0, 1000, size=(BATCH,)))
+
+    variables = model.init(jax.random.PRNGKey(0), images[:2])
+    ocfg = OptimConfig(base_lr=5e-4, warmup_epochs=5, epochs=120,
+                       steps_per_epoch=1000, global_batch_size=BATCH)
+    tx = make_optimizer(ocfg, variables["params"])
+    state = TrainState.create(variables["params"], tx,
+                              variables.get("batch_stats"))
+
+    sched = SupernetSchedules(net, space, example_per_arch=EXAMPLE_PER_ARCH,
+                              num_warmup_epochs=0, arch_mode="multi")
+    tcfg = TrainConfig(num_classes=1000, mixup_mode="token", patch_len=4)
+    step = make_train_step(model, tx, tcfg, schedule=cosine_schedule(ocfg))
+
+    key = jax.random.PRNGKey(0)
+
+    def one_step(state):
+        counts = sched.sample(rng, BATCH)
+        return step(state, images, labels, counts, key)
+
+    # Per-step scalar materialization: block_until_ready is unreliable over
+    # remote/async backends (returns before execution), so the only honest
+    # timing forces a value transfer every step.  Slightly pessimistic on
+    # tunneled devices (adds one round-trip per step).
+    for _ in range(WARMUP):
+        state, metrics = one_step(state)
+        float(metrics["loss"])
+
+    t0 = time.perf_counter()
+    for _ in range(STEPS):
+        state, metrics = one_step(state)
+        float(metrics["loss"])
+    elapsed = time.perf_counter() - t0
+
+    n_chips = jax.device_count()
+    imgs_per_sec_per_chip = BATCH * STEPS / elapsed / n_chips
+    print(json.dumps({
+        "metric": "vit_resnas_tiny_supernet_train_imgs_per_sec_per_chip",
+        "value": round(imgs_per_sec_per_chip, 2),
+        "unit": "imgs/sec/chip",
+        "vs_baseline": round(imgs_per_sec_per_chip / V100_BASELINE_IMGS_PER_SEC_PER_CHIP, 3),
+    }))
+
+
+if __name__ == "__main__":
+    sys.exit(main())
