@@ -1,0 +1,204 @@
+"""Data-pipeline tests: transforms, samplers, loader, subsets, device mixing."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from PIL import Image
+
+from vit_search_tpu.data import (DataLoader, EvalTransform, ImageFolderDataset,
+                                 RepeatedAugmentSampler, ShardedSampler,
+                                 SyntheticDataset, TrainTransform,
+                                 build_dataset, build_subsets, mixup,
+                                 random_erasing)
+
+
+def _make_imagefolder(root, classes=3, per_class=8, size=32):
+    rng = np.random.default_rng(0)
+    for c in range(classes):
+        d = root / f"class_{c}"
+        d.mkdir(parents=True)
+        for i in range(per_class):
+            arr = rng.integers(0, 255, size=(size, size, 3), dtype=np.uint8)
+            Image.fromarray(arr).save(d / f"img_{i}.jpg")
+    return str(root)
+
+
+# --- transforms -----------------------------------------------------------------
+
+def test_train_transform_shapes_and_determinism():
+    t = TrainTransform(size=24)
+    img = Image.fromarray(np.random.default_rng(0).integers(
+        0, 255, size=(48, 64, 3), dtype=np.uint8))
+    out1 = t(img, np.random.default_rng(5))
+    out2 = t(img, np.random.default_rng(5))
+    out3 = t(img, np.random.default_rng(6))
+    assert out1.shape == (24, 24, 3) and out1.dtype == np.uint8
+    np.testing.assert_array_equal(out1, out2)   # seeded => deterministic
+    assert not np.array_equal(out1, out3)        # different seed => different aug
+
+
+def test_eval_transform_center_crop():
+    t = EvalTransform(size=24)
+    img = Image.fromarray(np.zeros((100, 60, 3), dtype=np.uint8))
+    out = t(img)
+    assert out.shape == (24, 24, 3)
+
+
+def test_rand_augment_all_ops_run():
+    from vit_search_tpu.data.transforms import RandAugment
+    ra = RandAugment()
+    img = Image.fromarray(np.random.default_rng(0).integers(
+        0, 255, size=(24, 24, 3), dtype=np.uint8))
+    rng = np.random.default_rng(0)
+    for op in ra.ops:
+        out = op(img, 9.0, rng)
+        assert out.size == img.size
+
+
+# --- samplers -------------------------------------------------------------------
+
+def test_repeated_augment_sampler_semantics():
+    n, replicas = 1024, 4
+    samplers = [RepeatedAugmentSampler(n, replicas, r, selected_round=256)
+                for r in range(replicas)]
+    for s in samplers:
+        s.set_epoch(3)
+    shards = [list(iter(s)) for s in samplers]
+    # selected count: floor(1024/256*256/4) = 256 per rank
+    assert all(len(sh) == 256 for sh in shards)
+    # 3x repetition: across the *full* (untruncated) index space each index
+    # appears 3 times; within the truncated selection duplicates exist
+    all_selected = sum(shards, [])
+    values, counts = np.unique(all_selected, return_counts=True)
+    assert counts.max() <= 3
+    # epoch reseeds
+    samplers[0].set_epoch(4)
+    assert list(iter(samplers[0])) != shards[0]
+
+
+def test_sharded_sampler_partitions():
+    n, replicas = 103, 4
+    shards = []
+    for r in range(replicas):
+        s = ShardedSampler(n, replicas, r, shuffle=False)
+        shards.append(list(iter(s)))
+    assert all(len(sh) == 26 for sh in shards)  # padded equal length
+    covered = set(sum(shards, []))
+    assert covered == set(range(n))
+    # ordered shards are contiguous
+    assert shards[0] == list(range(26))
+
+
+# --- datasets + loader -------------------------------------------------------------
+
+def test_imagefolder_and_loader(tmp_path):
+    root = _make_imagefolder(tmp_path / "train")
+    ds = ImageFolderDataset(root, TrainTransform(size=16))
+    assert len(ds) == 24 and ds.num_classes == 3
+    sampler = ShardedSampler(len(ds), 1, 0, shuffle=True)
+    loader = DataLoader(ds, sampler, batch_size=8, num_workers=2)
+    batches = list(iter(loader))
+    assert len(batches) == 3
+    for images, labels in batches:
+        assert images.shape == (8, 16, 16, 3) and images.dtype == np.uint8
+        assert labels.shape == (8,) and labels.dtype == np.int32
+
+
+def test_loader_drop_last_and_epoch(tmp_path):
+    ds = SyntheticDataset(num_classes=4, length=10, img_size=8)
+    sampler = ShardedSampler(len(ds), 1, 0, shuffle=True)
+    loader = DataLoader(ds, sampler, batch_size=4, drop_last=False)
+    assert len(loader) == 3
+    batches = list(iter(loader))
+    assert batches[-1][0].shape[0] == 2  # tail kept
+
+    loader.set_epoch(1)
+    b1 = np.concatenate([b[1] for b in iter(loader)])
+    loader.set_epoch(2)
+    b2 = np.concatenate([b[1] for b in iter(loader)])
+    assert not np.array_equal(b1, b2)
+
+
+def test_build_dataset_synthetic_and_holdout_dispatch(tmp_path):
+    ds = build_dataset(True, data_set="SYNTHETIC:4:16:8", data_path="",
+                       transform=None)
+    assert ds.num_classes == 4 and len(ds) == 16
+    img, label = ds.load(3, np.random.default_rng(0))
+    assert img.shape == (8, 8, 3) and label == 3
+
+    root = tmp_path
+    _make_imagefolder(root / "train")
+    build_subsets(str(root), per_class=2, seed=0)
+    sub_train = build_dataset(True, data_set="IMNET", data_path=str(root),
+                              transform=EvalTransform(16), use_holdout=True)
+    sub_val = build_dataset(False, data_set="IMNET", data_path=str(root),
+                            transform=EvalTransform(16), use_holdout=True)
+    assert len(sub_val) == 3 * 2
+    assert len(sub_train) == 24 - 6
+    # manifest pins the split
+    assert os.path.exists(root / "sub_val_files.json")
+    # no sample lives in both splits
+    train_names = {os.path.basename(p) + c for c in [""] for p, _ in sub_train.samples}
+    val_names = {p for p, _ in sub_val.samples}
+    assert not ({os.path.basename(p) for p, _ in sub_train.samples}
+                & {os.path.basename(p) for p, _ in sub_val.samples}
+                & set())  # same basenames may repeat across classes; check paths
+    assert not (set(p for p, _ in sub_train.samples) & val_names)
+
+
+# --- device-side mixing -----------------------------------------------------------
+
+def test_switch_token_mix_targets_sum_to_one():
+    rng = jax.random.PRNGKey(0)
+    x = jnp.zeros((8, 16, 16, 3))
+    y = jnp.arange(8) % 4
+    mixed, targets, patch_targets = mixup.switch_token_mix(
+        rng, x, y, grid=4, num_classes=4, smoothing=0.1)
+    assert mixed.shape == x.shape
+    assert targets.shape == (8, 4)
+    assert patch_targets.shape == (8, 16, 4)
+    np.testing.assert_allclose(np.asarray(targets.sum(-1)), 1.0, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(patch_targets.sum(-1)), 1.0, atol=1e-5)
+
+
+def test_patch_mixup_box_consistency():
+    """Pixels and patch targets swap the same patch-aligned region."""
+    rng = jax.random.PRNGKey(3)
+    grid, patch = 4, 4
+    b = 4
+    # each image is a constant equal to its index
+    x = jnp.broadcast_to(jnp.arange(b, dtype=jnp.float32)[:, None, None, None],
+                         (b, grid * patch, grid * patch, 3))
+    y = jnp.arange(b)
+    mixed, targets, patch_targets = mixup.patch_mixup(
+        rng, x, y, grid, num_classes=b, smoothing=0.0)
+    mixed = np.asarray(mixed)
+    pt = np.asarray(patch_targets).reshape(b, grid, grid, b)
+    for i in range(b):
+        for gy in range(grid):
+            for gx in range(grid):
+                pixel_val = mixed[i, gy * patch, gx * patch, 0]
+                target_cls = pt[i, gy, gx].argmax()
+                assert int(pixel_val) == int(target_cls)
+
+
+def test_mixup_cutmix_lambda_consistency():
+    rng = jax.random.PRNGKey(1)
+    x = jnp.ones((8, 16, 16, 3))
+    y = jnp.arange(8) % 4
+    mixed, targets = mixup.mixup_cutmix(rng, x, y, num_classes=4)
+    assert mixed.shape == x.shape and targets.shape == (8, 4)
+    np.testing.assert_allclose(np.asarray(targets.sum(-1)), 1.0, atol=1e-5)
+
+
+def test_random_erasing_prob_bounds():
+    rng = jax.random.PRNGKey(0)
+    x = jnp.zeros((64, 16, 16, 3))
+    out = np.asarray(random_erasing(rng, x, prob=0.5))
+    erased = (np.abs(out).reshape(64, -1).max(axis=1) > 0)
+    assert 10 < erased.sum() < 55  # ~half the images got noise boxes
+    out0 = np.asarray(random_erasing(rng, x, prob=0.0))
+    np.testing.assert_array_equal(out0, 0.0)

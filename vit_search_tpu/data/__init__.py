@@ -1,5 +1,38 @@
 """Input pipeline: datasets, transforms, samplers, loaders, device mixing."""
 
-from . import mixup
+from . import datasets, erasing, loader, mixup, samplers, subset, transforms
+from .datasets import (CIFAR100Dataset, ImageFolderDataset, INatDataset,
+                       SyntheticDataset, build_dataset)
+from .erasing import random_erasing
+from .loader import DataLoader, normalize_images
+from .samplers import RepeatedAugmentSampler, ShardedSampler
+from .subset import build_subsets, select_holdout
+from .transforms import (EvalTransform, IMAGENET_MEAN, IMAGENET_STD,
+                         RandAugment, TrainTransform)
 
-__all__ = ["mixup"]
+__all__ = [
+    "CIFAR100Dataset",
+    "DataLoader",
+    "EvalTransform",
+    "IMAGENET_MEAN",
+    "IMAGENET_STD",
+    "ImageFolderDataset",
+    "INatDataset",
+    "RandAugment",
+    "RepeatedAugmentSampler",
+    "ShardedSampler",
+    "SyntheticDataset",
+    "TrainTransform",
+    "build_dataset",
+    "build_subsets",
+    "datasets",
+    "erasing",
+    "loader",
+    "mixup",
+    "normalize_images",
+    "random_erasing",
+    "samplers",
+    "select_holdout",
+    "subset",
+    "transforms",
+]

@@ -28,11 +28,22 @@ import jax.numpy as jnp
 import optax
 
 from ..data import mixup as mixup_lib
+from ..data.erasing import random_erasing
 from ..models.supernet import build_arch_masks
 from . import losses
 from .state import TrainState, ema_update
 
 Array = jnp.ndarray
+
+
+def _normalize(images: Array, config: "TrainConfig") -> Array:
+    """uint8 HWC batches from the loader -> normalized float on device."""
+    if images.dtype != jnp.uint8:
+        return images
+    x = images.astype(jnp.float32) / 255.0
+    mean = jnp.asarray(config.mean, jnp.float32).reshape(1, 1, 1, -1)
+    std = jnp.asarray(config.std, jnp.float32).reshape(1, 1, 1, -1)
+    return (x - mean) / std
 
 
 @dataclasses.dataclass(frozen=True)
@@ -51,6 +62,10 @@ class TrainConfig:
     distill_temperature: float = 3.0
     # EMA
     ema_decay: Optional[float] = None
+    # device-side input processing (uint8 batches from the loader)
+    mean: tuple = (0.485, 0.456, 0.406)
+    std: tuple = (0.229, 0.224, 0.225)
+    erasing_prob: float = 0.0
 
 
 def make_train_step(model: Any, tx: optax.GradientTransformation,
@@ -71,7 +86,10 @@ def make_train_step(model: Any, tx: optax.GradientTransformation,
     def step(state: TrainState, images: Array, labels: Array,
              counts: Optional[Dict], rng: jax.Array):
         step_rng = jax.random.fold_in(rng, state.step)
-        k_mix, k_drop, k_path = jax.random.split(step_rng, 3)
+        k_mix, k_drop, k_path, k_erase = jax.random.split(step_rng, 4)
+
+        images = _normalize(images, config)
+        images = random_erasing(k_erase, images, config.erasing_prob)
 
         batch = images.shape[0]
         masks = build_arch_masks(counts, model.network_def, batch)
@@ -163,11 +181,14 @@ def make_eval_step(model: Any) -> Callable:
     the model has a distill head], count).  Reference: engine.py:194-261.
     """
 
+    config = TrainConfig()
+
     def eval_step(params, batch_stats, images: Array, labels: Array,
                   counts: Optional[Dict] = None):
         variables = {"params": params}
         if batch_stats:
             variables["batch_stats"] = batch_stats
+        images = _normalize(images, config)
         masks = build_arch_masks(counts, model.network_def, images.shape[0])
         outputs = model.apply(variables, images, masks, deterministic=True)
 
@@ -202,11 +223,14 @@ def make_per_example_correct_step(model: Any) -> Callable:
     scoring in evolutionary search (replaces evo_search.py:253-287's
     per-candidate rebuild/eval loop)."""
 
+    config = TrainConfig()
+
     def step(params, batch_stats, images: Array, labels: Array,
              counts: Optional[Dict] = None):
         variables = {"params": params}
         if batch_stats:
             variables["batch_stats"] = batch_stats
+        images = _normalize(images, config)
         masks = build_arch_masks(counts, model.network_def, images.shape[0])
         outputs = model.apply(variables, images, masks, deterministic=True)
         cls_pred = outputs[0] if isinstance(outputs, tuple) else outputs
