@@ -173,6 +173,11 @@ _SPACES = {
 }
 
 
+def register_space(name: str, factory) -> None:
+    """Register a custom search space (tests, user extensions)."""
+    _SPACES[name] = factory
+
+
 def available_spaces() -> List[str]:
     return sorted(_SPACES)
 

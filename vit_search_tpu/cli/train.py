@@ -1,0 +1,393 @@
+"""Training / evaluation driver (reference ``main.py`` parity).
+
+Accepts the reference CLI surface (main.py:72-246) — every published
+experiment script's flag set parses unchanged — and orchestrates the
+TPU-native stack:
+
+  data pipeline -> device mesh -> jitted train/eval steps -> epoch loop
+  with supernet epoch schedules + rewiring, per-epoch eval (+ EMA eval),
+  JSON log lines, checkpoints (checkpoint / epoch@N / best / best_ema).
+
+Differences from the reference, by design:
+- one process per host (not per device); devices are a mesh axis,
+- mixup/token-mixup/random-erasing/normalization run on device inside the
+  compiled step,
+- architecture sampling is explicit keep-count data seeded by
+  ``(epoch, step)``, replacing the global-RNG bracket (engine.py:119-132):
+  ``single``/``hybrid`` shared widths come from the same seed on every
+  host, ``multi`` keep counts are deterministic per host.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+from typing import Optional
+
+import numpy as np
+
+
+def get_args_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser("vit-search-tpu training and evaluation",
+                                     add_help=False)
+    parser.add_argument("--batch-size", default=64, type=int,
+                        help="per-host batch size")
+    parser.add_argument("--epochs", default=300, type=int)
+    parser.add_argument("--val-bs", default=64, type=int)
+
+    # Model
+    parser.add_argument("--model", default="deit_base_patch16_224", type=str)
+    parser.add_argument("--input-size", default=224, type=int)
+    parser.add_argument("--drop", type=float, default=0.0)
+    parser.add_argument("--drop-path", type=float, default=0.1)
+    parser.add_argument("--drop-block", type=float, default=None)  # unused (parity)
+    parser.add_argument("--model-ema", action="store_true")
+    parser.add_argument("--no-model-ema", action="store_false", dest="model_ema")
+    parser.set_defaults(model_ema=True)
+    parser.add_argument("--model-ema-decay", type=float, default=0.99996)
+    parser.add_argument("--model-ema-force-cpu", action="store_true", default=False)
+
+    # Optimizer
+    parser.add_argument("--opt", default="adamw", type=str)
+    parser.add_argument("--opt-eps", default=1e-8, type=float)
+    parser.add_argument("--opt-betas", default=None, type=float, nargs="+")
+    parser.add_argument("--clip-grad", type=float, default=None)
+    parser.add_argument("--momentum", type=float, default=0.9)
+    parser.add_argument("--weight-decay", type=float, default=0.05)
+
+    # LR schedule
+    parser.add_argument("--sched", default="cosine", type=str)
+    parser.add_argument("--lr", type=float, default=5e-4)
+    parser.add_argument("--warmup-lr", type=float, default=1e-6)
+    parser.add_argument("--min-lr", type=float, default=1e-5)
+    parser.add_argument("--warmup-epochs", type=int, default=5)
+    parser.add_argument("--decay-epochs", type=float, default=30)
+    parser.add_argument("--cooldown-epochs", type=int, default=10)
+    parser.add_argument("--decay-rate", "--dr", type=float, default=0.1)
+
+    # Augmentation
+    parser.add_argument("--color-jitter", type=float, default=0.4)
+    parser.add_argument("--aa", type=str, default="rand-m9-mstd0.5-inc1")
+    parser.add_argument("--smoothing", type=float, default=0.1)
+    parser.add_argument("--train-interpolation", type=str, default="bicubic")
+    parser.add_argument("--repeated-aug", action="store_true")
+    parser.add_argument("--no-repeated-aug", action="store_false", dest="repeated_aug")
+    parser.set_defaults(repeated_aug=True)
+    parser.add_argument("--reprob", type=float, default=0.25)
+    parser.add_argument("--remode", type=str, default="pixel")
+    parser.add_argument("--recount", type=int, default=1)
+
+    # Mixup
+    parser.add_argument("--mixup", type=float, default=0.8)
+    parser.add_argument("--cutmix", type=float, default=1.0)
+    parser.add_argument("--mixup-prob", type=float, default=1.0)
+    parser.add_argument("--mixup-switch-prob", type=float, default=0.5)
+    parser.add_argument("--mixup-mode", type=str, default="batch")
+
+    # Dataset
+    parser.add_argument("--data-path", default="/datasets/imagenet", type=str)
+    parser.add_argument("--data-set", default="IMNET", type=str)
+    parser.add_argument("--inat-category", default="name", type=str)
+
+    parser.add_argument("--output_dir", default="")
+    parser.add_argument("--device", default="tpu")
+    parser.add_argument("--seed", default=0, type=int)
+    parser.add_argument("--resume", default="")
+    parser.add_argument("--start_epoch", default=0, type=int)
+    parser.add_argument("--eval", action="store_true")
+    parser.add_argument("--num_workers", default=10, type=int)
+    parser.add_argument("--print-freq", default=100, type=int)
+
+    # Knowledge distillation
+    parser.add_argument("--teacher-ckpt-path", default=None, type=str)
+    parser.add_argument("--teacher-model", default="regnety_160_upsample", type=str)
+    parser.add_argument("--hard-distill", action="store_true", default=True)
+    parser.add_argument("--distill-alpha", default=0.5, type=float)
+
+    # Flexible ViT / supernet
+    parser.add_argument("--network-def", default=None, type=str)
+    parser.add_argument("--search-space", default=None, type=str)
+    parser.add_argument("--example-per-arch", default=None, type=int)
+    parser.add_argument("--num-warmup-epochs", default=30, type=int)
+    parser.add_argument("--single-arch", action="store_true", default=False)
+    parser.add_argument("--hybrid-arch", action="store_true", default=None)
+    parser.add_argument("--use-holdout", action="store_true", default=False)
+    parser.add_argument("--resume-supernet-weights", default=None, type=str)
+
+    # Shifted patch token mixup
+    parser.add_argument("--use-patch-mixup", action="store_true", default=False)
+    parser.add_argument("--mixup-patch-len", default=4, type=int)
+    parser.add_argument("--switch-prob", default=0.5, type=float)
+
+    # Higher-resolution finetune
+    parser.add_argument("--finetune", default=None, type=str)
+
+    # TPU-specific
+    parser.add_argument("--bf16", action="store_true", default=True,
+                        help="bfloat16 compute (params stay f32)")
+    parser.add_argument("--no-bf16", action="store_false", dest="bf16")
+    parser.add_argument("--max-steps-per-epoch", default=None, type=int,
+                        help="truncate epochs (smoke tests)")
+    return parser
+
+
+def main(args) -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from .. import arch, data, models, parallel, train, utils
+    from ..models.supernet import SupernetSchedules
+
+    if args.device == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+
+    mesh = parallel.create_mesh()
+    is_main = parallel.is_main_process()
+    logger = utils.file_logger(args.output_dir or None, is_master=is_main)
+    logger.info(f"devices: {jax.devices()}")
+    logger.info(str(args))
+
+    np.random.seed(args.seed + jax.process_index())
+
+    # --- data ------------------------------------------------------------
+    train_transform = data.TrainTransform(
+        size=args.input_size, rand_augment=args.aa,
+        color_jitter=args.color_jitter)
+    eval_transform = data.EvalTransform(size=args.input_size)
+
+    dataset_train = data.build_dataset(
+        True, data_set=args.data_set, data_path=args.data_path,
+        transform=train_transform, use_holdout=args.use_holdout,
+        inat_category=args.inat_category)
+    dataset_val = data.build_dataset(
+        False, data_set=args.data_set, data_path=args.data_path,
+        transform=eval_transform, use_holdout=args.use_holdout,
+        inat_category=args.inat_category)
+    num_classes = dataset_train.num_classes
+
+    n_proc, rank = parallel.process_count(), jax.process_index()
+    if args.repeated_aug:
+        train_sampler = data.RepeatedAugmentSampler(len(dataset_train), n_proc, rank)
+    else:
+        train_sampler = data.ShardedSampler(len(dataset_train), n_proc, rank)
+    val_sampler = data.ShardedSampler(len(dataset_val), n_proc, rank, shuffle=False)
+
+    loader_train = data.DataLoader(dataset_train, train_sampler, args.batch_size,
+                                   num_workers=args.num_workers, drop_last=True,
+                                   seed=args.seed)
+    loader_val = data.DataLoader(dataset_val, val_sampler, args.val_bs,
+                                 num_workers=args.num_workers, drop_last=False,
+                                 seed=args.seed)
+
+    # --- model -----------------------------------------------------------
+    dtype = jnp.bfloat16 if args.bf16 else jnp.float32
+    network_def = (arch.parse_network_def(args.network_def)
+                   if args.network_def else None)
+    model_kwargs = dict(num_classes=num_classes, dtype=dtype,
+                        dropout_rate=args.drop, drop_path_rate=args.drop_path,
+                        img_size=args.input_size)
+    if network_def is not None:
+        model_kwargs["network_def"] = network_def
+    model = models.create_model(args.model, **model_kwargs)
+    network_def = model.network_def
+
+    # supernet schedules (reference main.py:324-346 supernet kwargs wiring)
+    schedules: Optional[SupernetSchedules] = None
+    if models.is_supernet_model(args.model):
+        if args.search_space is None:
+            raise ValueError("--search-space required for supernet models")
+        arch_mode = ("single" if args.single_arch
+                     else "hybrid" if args.hybrid_arch else "multi")
+        schedules = SupernetSchedules(
+            network_def, arch.get_space(args.search_space),
+            example_per_arch=args.example_per_arch,
+            num_warmup_epochs=args.num_warmup_epochs, arch_mode=arch_mode)
+
+    sample_images = jnp.zeros((2, args.input_size, args.input_size, 3), jnp.float32)
+    init_rngs = {"params": jax.random.PRNGKey(args.seed), "dropout": jax.random.PRNGKey(0)}
+    variables = model.init(init_rngs, sample_images, deterministic=False)
+    params, batch_stats = variables["params"], variables.get("batch_stats")
+
+    n_parameters = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
+    logger.info(f"number of params: {n_parameters}")
+
+    # --- weight surgery entries (finetune / supernet inheritance) ---------
+    if args.finetune:
+        raw = train.restore_raw(args.finetune)
+        src = raw.get("ema_params") or raw["params"]
+        params = models.interpolate_pos_embeds(src, params, model.num_tokens)
+        logger.info(f"finetune: loaded + interpolated pos embeds from {args.finetune}")
+    if args.resume_supernet_weights:
+        raw = train.restore_raw(args.resume_supernet_weights)
+        params = models.slice_subnet_params(raw["params"], params)
+        logger.info(f"inherited supernet weights from {args.resume_supernet_weights}")
+
+    # --- teacher ----------------------------------------------------------
+    teacher_apply = None
+    if args.teacher_ckpt_path:
+        teacher = models.create_model(args.teacher_model, num_classes=num_classes,
+                                      dtype=dtype)
+        t_raw = train.restore_raw(args.teacher_ckpt_path)
+        t_vars = {"params": t_raw["params"]}
+        if t_raw.get("batch_stats"):
+            t_vars["batch_stats"] = t_raw["batch_stats"]
+
+        def teacher_apply(images):
+            return teacher.apply(t_vars, images, deterministic=True)
+
+    # --- optimizer / steps --------------------------------------------------
+    global_batch = args.batch_size * n_proc
+    steps_per_epoch = len(loader_train)
+    if args.max_steps_per_epoch:
+        steps_per_epoch = min(steps_per_epoch, args.max_steps_per_epoch)
+    ocfg = train.OptimConfig(
+        base_lr=args.lr, min_lr=args.min_lr, warmup_lr=args.warmup_lr,
+        warmup_epochs=args.warmup_epochs, epochs=args.epochs,
+        weight_decay=args.weight_decay, clip_grad=args.clip_grad,
+        global_batch_size=global_batch, steps_per_epoch=max(1, steps_per_epoch))
+    tx = train.make_optimizer(ocfg, params)
+    state = train.TrainState.create(params, tx, batch_stats,
+                                    use_ema=args.model_ema)
+
+    mixup_mode = ("token" if args.use_patch_mixup
+                  else "mixup" if (args.mixup > 0 or args.cutmix > 0) else "none")
+    tcfg = train.TrainConfig(
+        num_classes=num_classes, smoothing=args.smoothing,
+        mixup_mode=mixup_mode, mixup_alpha=args.mixup,
+        cutmix_alpha=args.cutmix, mixup_switch_prob=args.mixup_switch_prob,
+        patch_len=args.mixup_patch_len,
+        distill_alpha=args.distill_alpha, hard_distill=args.hard_distill,
+        ema_decay=args.model_ema_decay if args.model_ema else None,
+        erasing_prob=args.reprob if mixup_mode != "none" or args.reprob else 0.0)
+    if args.use_patch_mixup and args.input_size != 56 * args.mixup_patch_len:
+        raise ValueError("--input-size must equal 56 * --mixup-patch-len "
+                         "(reference README constraint)")
+
+    schedule = train.cosine_schedule(ocfg)
+    train_step = train.make_train_step(model, tx, tcfg, teacher_apply=teacher_apply,
+                                       schedule=schedule, donate=False)
+    eval_step = train.make_eval_step(model)
+
+    state = parallel.replicate(mesh, state)
+
+    ckpt = train.CheckpointManager(os.path.join(args.output_dir, "checkpoints")) \
+        if args.output_dir else None
+
+    start_epoch = args.start_epoch
+    if args.resume and ckpt and ckpt.exists("checkpoint"):
+        state, meta = ckpt.restore("checkpoint", state)
+        if not args.eval:
+            start_epoch = int(meta.get("epoch", -1)) + 1
+        logger.info(f"resumed from epoch {meta.get('epoch')}")
+
+    eval_counts = schedules.full_counts() if schedules is not None else None
+
+    def run_eval(params_tree):
+        logger_eval = utils.MetricLogger(logger=logger)
+        totals = None
+        for images, labels in loader_val:
+            images, labels = parallel.shard_batch(mesh, (
+                jnp.asarray(images), jnp.asarray(labels)))
+            m = eval_step(params_tree, state.batch_stats, images, labels, eval_counts)
+            m = {k: float(v) for k, v in m.items()}
+            totals = m if totals is None else {k: totals[k] + m[k] for k in m}
+        if totals is None:
+            return {}
+        count = max(totals.pop("count"), 1.0)
+        stats = {("acc1" if k == "top1" else "acc5" if k == "top5" else k):
+                 v / count * (100.0 if k.startswith(("top", "dst", "jnt")) else 1.0)
+                 for k, v in totals.items()}
+        stats["loss"] = totals["loss_sum"] / count
+        stats.pop("loss_sum", None)
+        logger_eval.update(**stats)
+        logger.info(f"eval: {stats}")
+        return stats
+
+    if args.eval:
+        eval_params = state.ema_params if (args.model_ema and state.ema_params
+                                           is not None and args.resume) else state.params
+        stats = run_eval(eval_params)
+        return {"eval": stats}
+
+    # --- pre-finetune sanity eval (reference main.py:453-455) ---------------
+    if args.finetune:
+        run_eval(state.params)
+
+    logger.info(f"Start training for {args.epochs} epochs "
+                f"({steps_per_epoch} steps/epoch, global batch {global_batch})")
+    max_acc, max_ema_acc = 0.0, 0.0
+    epoch_rng = jax.random.PRNGKey(args.seed)
+    t_start = time.time()
+    result = {}
+
+    for epoch in range(start_epoch, args.epochs):
+        loader_train.set_epoch(epoch)
+        if schedules is not None:
+            schedules.set_epoch(epoch)
+            # epoch-boundary rewiring during warmup (vit_sr_supernet.py:465-477)
+            if epoch <= args.num_warmup_epochs:
+                state = state.replace(params=models.rewire_params(
+                    state.params, network_def))
+
+        metric_logger = utils.MetricLogger(logger=logger)
+        rng = jax.random.fold_in(epoch_rng, epoch)
+        # single/hybrid shared-arch sampling is host-independent: seed by
+        # (epoch, step) like the reference RNG bracket (engine.py:119-132)
+        host_rng = np.random.default_rng((args.seed, epoch))
+
+        for it, (images, labels) in enumerate(metric_logger.log_every(
+                loader_train, args.print_freq, header=f"Epoch: [{epoch}]",
+                total=steps_per_epoch)):
+            if it >= steps_per_epoch:
+                break
+            counts = (schedules.sample(host_rng, images.shape[0])
+                      if schedules is not None else None)
+            images, labels = parallel.shard_batch(mesh, (
+                jnp.asarray(images), jnp.asarray(labels)))
+            state, metrics = train_step(state, images, labels, counts, rng)
+            loss = float(metrics["loss"])
+            if not np.isfinite(loss):
+                logger.error(f"Loss is {loss}, stopping training")
+                raise FloatingPointError(f"non-finite loss at epoch {epoch}")
+            metric_logger.update(loss=loss, lr=float(metrics.get("lr", 0.0)))
+
+        metric_logger.synchronize_between_processes()
+        train_stats = metric_logger.averages()
+        logger.info(f"Averaged stats: {metric_logger}")
+
+        test_stats = run_eval(state.params)
+        ema_stats = {}
+        if args.model_ema and state.ema_params is not None:
+            ema_stats = run_eval(state.ema_params)
+
+        acc1 = test_stats.get("acc1", 0.0)
+        is_best = acc1 > max_acc
+        max_acc = max(max_acc, acc1)
+        ema_acc1 = ema_stats.get("acc1", 0.0)
+        is_best_ema = ema_acc1 > max_ema_acc
+        max_ema_acc = max(max_ema_acc, ema_acc1)
+        logger.info(f"Max accuracy: {max_acc:.2f}%")
+
+        log_stats = {**{f"train_{k}": v for k, v in train_stats.items()},
+                     **{f"test_{k}": v for k, v in test_stats.items()},
+                     **{f"ema_test_{k}": v for k, v in ema_stats.items()},
+                     "epoch": epoch, "n_parameters": n_parameters}
+        result = log_stats
+        if args.output_dir and is_main:
+            with open(os.path.join(args.output_dir, "log.txt"), "a") as f:
+                f.write(json.dumps(log_stats) + "\n")
+        if ckpt and is_main:
+            ckpt.save_epoch(state, epoch,
+                            metadata={"max_acc": max_acc, "args": vars(args)},
+                            is_best=is_best, is_best_ema=is_best_ema)
+
+    total = time.time() - t_start
+    logger.info(f"Training time {total:.0f}s")
+    return result
+
+
+if __name__ == "__main__":
+    parser = argparse.ArgumentParser("vit-search-tpu train", parents=[get_args_parser()])
+    main(parser.parse_args())

@@ -16,3 +16,7 @@ __all__ = [
     "prune_random_one",
     "reduce_constraint",
 ]
+
+from .batched_eval import BatchedSupernetEvaluator  # noqa: E402
+
+__all__.append("BatchedSupernetEvaluator")

@@ -1,0 +1,84 @@
+"""Batched candidate scoring on the supernet.
+
+The reference scores each search candidate by building a new model,
+slicing supernet weights into it, DDP-wrapping it and running a full
+sub-val evaluation — per candidate (evo_search.py:253-287).  On TPU that
+rebuild/retrace loop is replaced by *masked batched evaluation*: candidates
+become keep-count columns, every sub-val batch is tiled ``A`` times (one
+replica per candidate), and one compiled program scores ``A`` candidates at
+once.  Valid because candidate extraction is prefix slicing
+(nets/net_utils.py:34-57) and masked forward == sliced forward
+(tests/test_models.py equivalence suite).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.supernet import SupernetSchedules
+from ..train.engine import make_per_example_correct_step
+
+
+def _tile_counts(counts: Dict, batch: int) -> Dict:
+    """Expand per-candidate counts (A,) to per-example (A*batch,), candidate-major."""
+
+    def tile(arr):
+        return None if arr is None else np.repeat(np.asarray(arr), batch)
+
+    out = {"embed": tile(counts.get("embed")), "slots": {}}
+    for slot, site in counts["slots"].items():
+        out["slots"][slot] = {k: tile(v) for k, v in site.items()}
+    return out
+
+
+class BatchedSupernetEvaluator:
+    """Score populations of network_defs on a fixed sub-val loader."""
+
+    def __init__(self, model, params, batch_stats, schedules: SupernetSchedules,
+                 loader, arch_batch: int = 8):
+        self.model = model
+        self.params = params
+        self.batch_stats = batch_stats
+        self.schedules = schedules
+        self.loader = loader
+        self.arch_batch = arch_batch
+        self._step = make_per_example_correct_step(model)
+
+    def _score_chunk(self, sub_defs: Sequence) -> np.ndarray:
+        a = len(sub_defs)
+        counts = self.schedules.counts_for_subnets(sub_defs)
+        correct = np.zeros(a, dtype=np.float64)
+        total = 0
+        for images, labels in self.loader:
+            b = images.shape[0]
+            tiled_counts = _tile_counts(counts, b)
+            images_t = jnp.asarray(np.tile(images, (a, 1, 1, 1)))
+            labels_t = jnp.asarray(np.tile(labels, a))
+            per_example = np.asarray(
+                self._step(self.params, self.batch_stats, images_t, labels_t,
+                           tiled_counts))
+            correct += per_example.reshape(a, b).sum(axis=1)
+            total += b
+        return correct / max(total, 1) * 100.0
+
+    def score(self, network_defs: Sequence) -> List[float]:
+        """Top-1 accuracy (%) on the sub-val set for each candidate.
+
+        Chunks of up to ``arch_batch`` candidates share one compiled program
+        per (chunk size, batch size) pair; the final partial chunk is padded
+        with repeats of the last candidate so no new program shape appears.
+        """
+        scores: List[float] = []
+        defs = list(network_defs)
+        for i in range(0, len(defs), self.arch_batch):
+            chunk = defs[i:i + self.arch_batch]
+            pad = 0
+            if len(chunk) < self.arch_batch and len(defs) > self.arch_batch:
+                pad = self.arch_batch - len(chunk)
+                chunk = chunk + [chunk[-1]] * pad
+            chunk_scores = self._score_chunk(chunk)
+            scores.extend(chunk_scores[: len(chunk) - pad])
+        return scores
