@@ -1,0 +1,18 @@
+#!/bin/bash
+# Searched ViT-ResNAS net training (tiny)
+# One process per TPU host; devices form the data-parallel mesh.
+# Per-host batch = per-chip batch x local chips (reference used 128/GPU x 8).
+set -e
+IMAGENET_PATH="${IMAGENET_PATH:-/datasets/imagenet}"
+python -m vit_search_tpu.cli.train \
+    --model flexible_vit_sr_patch14_224_patch_output \
+    --batch-size 1024 \
+    --data-path "$IMAGENET_PATH" \
+    --epochs 300 \
+    --num_workers 16 \
+    --output_dir models/searched_net/tiny \
+    --val-bs 192 \
+    --network-def '((4, 176), (1, (176, 3, 32), (176, 704), 1), (1, (176, 3, 32), (176, 576), 1), (1, (176, 3, 32), (176, 640), 1), (1, (176, 4, 32), (176, 576), 1), (1, (176, 4, 32), (176, 704), 1), (3, 176, 352), (1, (352, 10, 48), (352, 1408), 1), (1, (352, 8, 48), (352, 1408), 1), (1, (352, 8, 48), (352, 1280), 1), (1, (352, 8, 48), (352, 1408), 1), (1, (352, 10, 48), (352, 1280), 1), (1, (352, 10, 48), (352, 1024), 1), (3, 352, 704), (1, (704, 10, 64), (704, 2560), 1), (1, (704, 10, 64), (704, 1792), 1), (1, (704, 10, 64), (704, 2816), 1), (1, (704, 8, 64), (704, 2816), 1), (1, (704, 8, 64), (704, 2560), 1), (2, 704, 1000))' \
+    --no-repeated-aug \
+    --use-patch-mixup \
+    --drop-path 0.2

@@ -23,10 +23,27 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import signal
+import threading
 import time
 from typing import Optional
 
 import numpy as np
+
+# Set by SIGTERM (scheduler preemption): the epoch loop checkpoints and
+# exits cleanly so a relaunch with --resume continues (the submitit-requeue
+# equivalent, reference run_with_submitit.py:62-72).
+_PREEMPTED = threading.Event()
+
+
+def _install_preemption_handler() -> None:
+    def handler(signum, frame):
+        _PREEMPTED.set()
+
+    try:
+        signal.signal(signal.SIGTERM, handler)
+    except ValueError:
+        pass  # not the main thread (tests)
 
 
 def get_args_parser() -> argparse.ArgumentParser:
@@ -130,6 +147,9 @@ def get_args_parser() -> argparse.ArgumentParser:
     parser.add_argument("--no-bf16", action="store_false", dest="bf16")
     parser.add_argument("--max-steps-per-epoch", default=None, type=int,
                         help="truncate epochs (smoke tests)")
+    parser.add_argument("--profile-dir", default=None, type=str,
+                        help="capture a jax.profiler trace of early steps")
+    parser.add_argument("--profile-steps", default=8, type=int)
     return parser
 
 
@@ -276,8 +296,18 @@ def main(args) -> dict:
         if args.output_dir else None
 
     start_epoch = args.start_epoch
-    if args.resume and ckpt and ckpt.exists("checkpoint"):
-        state, meta = ckpt.restore("checkpoint", state)
+    if args.resume:
+        # 'auto' (or any non-path) resumes from this run's own checkpoint dir;
+        # an explicit directory path restores that checkpoint (eval scripts
+        # pass trained-model paths, reference main.py:401-416)
+        if args.resume != "auto" and os.path.isdir(args.resume):
+            mgr = train.CheckpointManager(os.path.dirname(os.path.abspath(args.resume)),
+                                          snapshot_every=0)
+            state, meta = mgr.restore(os.path.basename(args.resume.rstrip("/")), state)
+        elif ckpt and ckpt.exists("checkpoint"):
+            state, meta = ckpt.restore("checkpoint", state)
+        else:
+            raise FileNotFoundError(f"--resume {args.resume}: no checkpoint found")
         if not args.eval:
             start_epoch = int(meta.get("epoch", -1)) + 1
         logger.info(f"resumed from epoch {meta.get('epoch')}")
@@ -315,6 +345,7 @@ def main(args) -> dict:
     if args.finetune:
         run_eval(state.params)
 
+    _install_preemption_handler()
     logger.info(f"Start training for {args.epochs} epochs "
                 f"({steps_per_epoch} steps/epoch, global batch {global_batch})")
     max_acc, max_ema_acc = 0.0, 0.0
@@ -342,16 +373,31 @@ def main(args) -> dict:
                 total=steps_per_epoch)):
             if it >= steps_per_epoch:
                 break
+            global_step = epoch * steps_per_epoch + it
+            if args.profile_dir and epoch == start_epoch and it == 1:
+                jax.profiler.start_trace(args.profile_dir)
             counts = (schedules.sample(host_rng, images.shape[0])
                       if schedules is not None else None)
             images, labels = parallel.shard_batch(mesh, (
                 jnp.asarray(images), jnp.asarray(labels)))
             state, metrics = train_step(state, images, labels, counts, rng)
             loss = float(metrics["loss"])
+            if args.profile_dir and epoch == start_epoch and it == args.profile_steps:
+                jax.profiler.stop_trace()
+                logger.info(f"profiler trace written to {args.profile_dir}")
             if not np.isfinite(loss):
                 logger.error(f"Loss is {loss}, stopping training")
                 raise FloatingPointError(f"non-finite loss at epoch {epoch}")
             metric_logger.update(loss=loss, lr=float(metrics.get("lr", 0.0)))
+            if _PREEMPTED.is_set():
+                logger.warning(f"preempted at epoch {epoch} step {it}; "
+                               "checkpointing and exiting")
+                if ckpt and is_main:
+                    ckpt.save_epoch(state, epoch - 1,
+                                    metadata={"max_acc": max_acc,
+                                              "preempted_step": global_step,
+                                              "args": vars(args)})
+                return {"preempted": True, "epoch": epoch, "step": it}
 
         metric_logger.synchronize_between_processes()
         train_stats = metric_logger.averages()
