@@ -139,3 +139,20 @@ def test_evolver_guards():
     evolver.update_history()
     with pytest.raises(ValueError):
         evolver.evolve_sample(parent_size=100, mutate_prob=0.3, mutate_size=2)
+
+
+def test_python_backend_forced():
+    evolver = PopulationEvolver(LARGEST, SPACE, CONSTRAINT, EST, seed=0,
+                                backend="python")
+    assert evolver.native is None
+    evolver.random_sample(3)
+    for ind in evolver.popu:
+        assert LO <= EST(ind.network_def) <= CONSTRAINT
+
+
+def test_native_backend_auto_engages():
+    from vit_search_tpu import native as native_mod
+    if not native_mod.available():
+        return
+    evolver = PopulationEvolver(LARGEST, SPACE, CONSTRAINT, EST, seed=0)
+    assert evolver.native is not None

@@ -42,28 +42,76 @@ class Individual:
 class PopulationEvolver:
     def __init__(self, largest_network_def: Sequence, num_channels_to_keep: Sequence,
                  constraint: float, compute_resource: generators.ResourceFn,
-                 *, seed: Optional[int] = None):
+                 *, seed: Optional[int] = None, backend: str = "auto"):
+        """``backend``: 'auto' uses the native (C++) proposal generators when
+        the library is available (~400x faster rejection sampling), 'python'
+        forces the reference-semantics pure-Python path, 'native' requires
+        the library."""
         self.largest_network_def = nd.to_immutable(largest_network_def)
         self.num_channels_to_keep = num_channels_to_keep
         self.constraint = constraint
         self.compute_resource = compute_resource
         self.rng = np.random.default_rng(seed)
 
+        self.native = None
+        if backend in ("auto", "native"):
+            try:
+                from .. import native as native_mod
+
+                if native_mod.available():
+                    est = compute_resource
+                    self.native = native_mod.NativeSearchOps(
+                        self.largest_network_def, num_channels_to_keep,
+                        constraint,
+                        distill=getattr(est, "distill", False),
+                        input_resolution=getattr(est, "input_resolution", 224),
+                        patch_size=getattr(est, "patch_size", 14))
+                    # guard: the native cost model must agree exactly
+                    if (self.native.estimate_mac(self.largest_network_def)
+                            != compute_resource(self.largest_network_def)):
+                        self.native = None
+                elif backend == "native":
+                    raise RuntimeError("native backend requested but unavailable")
+            except ImportError:
+                if backend == "native":
+                    raise
+
         self.popu: List[Individual] = []          # current (unscored) generation
         self.history_popu: List[Individual] = []  # every scored individual, deduped
+
+    def _seed(self) -> int:
+        return int(self.rng.integers(2 ** 63))
 
     # -- membership uses network_def equality, like the reference Individual.__eq__
     def _is_novel(self, ind: Individual) -> bool:
         return ind not in self.popu and ind not in self.history_popu
 
+    def _gen_random(self) -> nd.NetworkDef:
+        if self.native is not None:
+            return self.native.gen_random(self._seed())
+        return generators.gen_random_network_def(
+            self.largest_network_def, self.num_channels_to_keep,
+            self.constraint, self.compute_resource, rng=self.rng)
+
+    def _mutate(self, parent: nd.NetworkDef, m_prob: float) -> nd.NetworkDef:
+        if self.native is not None:
+            return self.native.mutate(parent, m_prob, self._seed())
+        return generators.mutate_network_def(
+            parent, self.num_channels_to_keep, m_prob,
+            self.constraint, self.compute_resource, rng=self.rng)
+
+    def _crossover(self, m: nd.NetworkDef, f: nd.NetworkDef) -> nd.NetworkDef:
+        if self.native is not None:
+            return self.native.crossover(m, f, self._seed())
+        return generators.crossover_network_def(
+            m, f, self.num_channels_to_keep,
+            self.constraint, self.compute_resource, rng=self.rng)
+
     def random_sample(self, num_samples: int) -> None:
         """Fill the generation with novel random in-band candidates."""
         count = 0
         while count < num_samples:
-            net = generators.gen_random_network_def(
-                self.largest_network_def, self.num_channels_to_keep,
-                self.constraint, self.compute_resource, rng=self.rng)
-            ind = Individual(net)
+            ind = Individual(self._gen_random())
             if self._is_novel(ind):
                 self.popu.append(ind)
                 count += 1
@@ -94,10 +142,7 @@ class PopulationEvolver:
         count = 0
         while count < mutate_size:
             parent = self.history_popu[int(self.rng.integers(parent_size))]
-            net = generators.mutate_network_def(
-                parent.network_def, self.num_channels_to_keep, mutate_prob,
-                self.constraint, self.compute_resource, rng=self.rng)
-            ind = Individual(net)
+            ind = Individual(self._mutate(parent.network_def, mutate_prob))
             if self._is_novel(ind):
                 self.popu.append(ind)
                 count += 1
@@ -108,10 +153,7 @@ class PopulationEvolver:
             idx = self.rng.choice(parent_size, size=2, replace=False)
             m = self.history_popu[int(idx[0])].network_def
             f = self.history_popu[int(idx[1])].network_def
-            net = generators.crossover_network_def(
-                m, f, self.num_channels_to_keep,
-                self.constraint, self.compute_resource, rng=self.rng)
-            ind = Individual(net)
+            ind = Individual(self._crossover(m, f))
             if self._is_novel(ind) or skip_counter >= _CROSSOVER_SKIP_CHECKING_THRESHOLD:
                 self.popu.append(ind)
                 count += 1
