@@ -1,0 +1,70 @@
+"""Pallas kernel tests (interpret mode on CPU; compiled on TPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vit_search_tpu.ops import masked_layer_norm
+from vit_search_tpu.ops.pallas import (masked_layer_norm_pallas,
+                                       masked_ln_supported)
+
+
+def _data(B=2, N=16, C=128, k=96, dtype=np.float32, seed=0):
+    rng = np.random.default_rng(seed)
+    x = rng.normal(size=(B, N, C)).astype(dtype)
+    x[..., k:] = 0
+    w = rng.normal(size=(C,)).astype(np.float32)
+    b = rng.normal(size=(C,)).astype(np.float32)
+    mask = np.zeros((B, 1, C), np.float32)
+    mask[..., :k] = 1
+    return map(jnp.asarray, (x, w, b, mask))
+
+
+def test_pallas_masked_ln_forward_matches_reference_path():
+    x, w, b, mask = _data()
+    got = masked_layer_norm_pallas(x, w, b, mask)
+    want = masked_layer_norm(x, w, b, mask)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_pallas_masked_ln_gradients_match():
+    x, w, b, mask = _data(seed=1)
+    g = jnp.asarray(np.random.default_rng(2).normal(size=x.shape)
+                    .astype(np.float32))
+
+    def loss(fn):
+        return lambda x_, w_, b_: jnp.sum(fn(x_, w_, b_, mask) * g)
+
+    got = jax.grad(loss(masked_layer_norm_pallas), argnums=(0, 1, 2))(x, w, b)
+    want = jax.grad(loss(masked_layer_norm), argnums=(0, 1, 2))(x, w, b)
+    for a, e, name in zip(got, want, ("gx", "gw", "gb")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(e),
+                                   rtol=1e-4, atol=1e-5, err_msg=name)
+
+
+def test_pallas_masked_ln_bf16():
+    x, w, b, mask = _data()
+    got = masked_layer_norm_pallas(x.astype(jnp.bfloat16), w, b, mask)
+    assert got.dtype == jnp.bfloat16
+    want = masked_layer_norm(x, w, b, mask)
+    np.testing.assert_allclose(np.asarray(got, dtype=np.float32),
+                               np.asarray(want), atol=0.1)
+
+
+def test_pallas_supported_predicate():
+    x, _, _, mask = _data()
+    assert masked_ln_supported(x, mask)
+    assert not masked_ln_supported(x, None)
+    assert not masked_ln_supported(jnp.zeros((2, 16, 100)), mask)  # C % 128 != 0
+    assert not masked_ln_supported(jnp.zeros((2, 7, 128)), mask)   # N % 8 != 0
+
+
+def test_pallas_multi_tile_rows():
+    # N larger than one row tile exercises the grid's second dimension
+    x, w, b, mask = _data(N=256)
+    got = masked_layer_norm_pallas(x, w, b, mask)
+    want = masked_layer_norm(x, w, b, mask)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)

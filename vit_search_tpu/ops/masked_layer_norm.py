@@ -21,9 +21,15 @@ cast_inputs=float32)``), which is also the right call for bf16 TPU training.
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import jax.numpy as jnp
+
+# Opt-in Pallas kernel for the masked path (VST_PALLAS_LN=1).  The plain-JAX
+# path below is the reference numerics and the fallback for unsupported
+# shapes / non-TPU backends.
+_USE_PALLAS = os.environ.get("VST_PALLAS_LN", "0") == "1"
 
 
 def masked_layer_norm(x: jnp.ndarray, weight: jnp.ndarray, bias: jnp.ndarray,
@@ -49,6 +55,13 @@ def masked_layer_norm(x: jnp.ndarray, weight: jnp.ndarray, bias: jnp.ndarray,
         var = jnp.mean(jnp.square(xf - mu), axis=-1, keepdims=True)
         y = (xf - mu) / jnp.sqrt(var + eps)
         return (w * y + b).astype(dtype)
+
+    if _USE_PALLAS:
+        from .pallas import masked_layer_norm_pallas, masked_ln_supported
+
+        if masked_ln_supported(x, mask):
+            return masked_layer_norm_pallas(x, weight, bias,
+                                            mask.astype(x.dtype), eps)
 
     maskf = mask.astype(jnp.float32)
     inv_p = 1.0 / jnp.mean(maskf, axis=-1, keepdims=True)
