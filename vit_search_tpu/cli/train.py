@@ -280,14 +280,14 @@ def main(args) -> dict:
         patch_len=args.mixup_patch_len,
         distill_alpha=args.distill_alpha, hard_distill=args.hard_distill,
         ema_decay=args.model_ema_decay if args.model_ema else None,
-        erasing_prob=args.reprob if mixup_mode != "none" or args.reprob else 0.0)
+        erasing_prob=args.reprob)
     if args.use_patch_mixup and args.input_size != 56 * args.mixup_patch_len:
         raise ValueError("--input-size must equal 56 * --mixup-patch-len "
                          "(reference README constraint)")
 
     schedule = train.cosine_schedule(ocfg)
     train_step = train.make_train_step(model, tx, tcfg, teacher_apply=teacher_apply,
-                                       schedule=schedule, donate=False)
+                                       schedule=schedule, donate=True)
     eval_step = train.make_eval_step(model)
 
     state = parallel.replicate(mesh, state)
