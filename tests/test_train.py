@@ -189,3 +189,45 @@ def test_data_parallel_step_on_mesh():
     for _ in range(4):
         state2, m2 = step2(state2, x, y, None, jax.random.PRNGKey(0))
     np.testing.assert_allclose(losses[-1], float(m2["loss"]), rtol=1e-4)
+
+
+def test_model_learns_to_high_accuracy():
+    """Full-stack learning check on a separable synthetic task (replaces
+    real-data validation in this offline environment)."""
+    model = _model()
+    x, y = _synthetic_batch(np.random.default_rng(3), batch=32)
+    variables = model.init(jax.random.PRNGKey(0), x)
+    ocfg = OptimConfig(base_lr=5e-3, warmup_epochs=0, epochs=1,
+                       steps_per_epoch=40, global_batch_size=512,
+                       weight_decay=0.0, min_lr=1e-3)
+    tx = make_optimizer(ocfg, variables["params"])
+    state = TrainState.create(variables["params"], tx)
+    step = make_train_step(model, tx, TrainConfig(num_classes=NCLS, smoothing=0.0),
+                           schedule=cosine_schedule(ocfg))
+    for _ in range(40):
+        state, metrics = step(state, x, y, None, jax.random.PRNGKey(1))
+    ev = make_eval_step(model)
+    m = ev(state.params, None, x, y)
+    acc = float(m["top1"]) / float(m["count"])
+    assert acc >= 0.9, (acc, float(metrics["loss"]))
+
+
+def test_remat_matches_non_remat():
+    from vit_search_tpu.models import VisionTransformerSR
+
+    x, y = _synthetic_batch(np.random.default_rng(0), batch=4)
+    base = _model()
+    rem = VisionTransformerSR(network_def=NET, img_size=IMG, patch_size=PATCH,
+                              num_classes=NCLS, remat=True)
+    v = base.init(jax.random.PRNGKey(0), x)
+
+    def loss(model, params):
+        return jnp.mean(model.apply({"params": params}, x) *
+                        jax.nn.one_hot(y, NCLS))
+
+    l1, g1 = jax.value_and_grad(lambda p: loss(base, p))(v["params"])
+    l2, g2 = jax.value_and_grad(lambda p: loss(rem, p))(v["params"])
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)

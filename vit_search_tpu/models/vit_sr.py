@@ -122,6 +122,9 @@ class VisionTransformerSR(nn.Module):
     attn_dropout_rate: float = 0.0
     drop_path_rate: float = 0.0
     dtype: jnp.dtype = jnp.float32
+    # rematerialize transformer blocks in the backward pass (trades FLOPs
+    # for HBM; enables larger per-chip batches)
+    remat: bool = False
 
     @property
     def num_tokens(self) -> int:
@@ -155,6 +158,7 @@ class VisionTransformerSR(nn.Module):
         depth = nd.existing_depth(net)
         dpr = np.linspace(0.0, self.drop_path_rate, depth) if depth else []
 
+        block_cls = nn.remat(Block, static_argnums=()) if self.remat else Block
         blocks = {}
         d = 0
         for slot, block_def in enumerate(net):
@@ -163,7 +167,7 @@ class VisionTransformerSR(nn.Module):
                 tdef = nd.transformer_def(block_def)
                 assert tdef.embed_dim == embed_dim, f"slot {slot} width mismatch"
                 if tdef.exists:
-                    blocks[str(slot)] = Block(
+                    blocks[str(slot)] = block_cls(
                         dim=embed_dim, num_heads=tdef.num_heads,
                         head_dim=tdef.head_dim, mlp_hidden=tdef.ffn_hidden,
                         dropout_rate=self.dropout_rate,
