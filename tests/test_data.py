@@ -202,3 +202,53 @@ def test_random_erasing_prob_bounds():
     assert 10 < erased.sum() < 55  # ~half the images got noise boxes
     out0 = np.asarray(random_erasing(rng, x, prob=0.0))
     np.testing.assert_array_equal(out0, 0.0)
+
+
+def test_cifar100_dataset(tmp_path):
+    import pickle
+
+    d = tmp_path / "cifar-100-python"
+    d.mkdir()
+    rng = np.random.default_rng(0)
+    n = 12
+    blob = {"data": rng.integers(0, 255, size=(n, 3 * 32 * 32), dtype=np.uint8),
+            "fine_labels": list(rng.integers(0, 100, size=n))}
+    with open(d / "train", "wb") as f:
+        pickle.dump(blob, f)
+    ds = build_dataset(True, data_set="CIFAR", data_path=str(tmp_path),
+                       transform=EvalTransform(16))
+    assert len(ds) == n and ds.num_classes == 100
+    img, label = ds.load(0, np.random.default_rng(0))
+    assert img.shape == (16, 16, 3)
+    assert label == blob["fine_labels"][0]
+
+
+def test_inat_dataset(tmp_path):
+    import json
+
+    rng = np.random.default_rng(0)
+    images, annos = [], []
+    (tmp_path / "imgs").mkdir()
+    for i in range(6):
+        name = f"imgs/{i}.jpg"
+        arr = rng.integers(0, 255, size=(20, 20, 3), dtype=np.uint8)
+        Image.fromarray(arr).save(tmp_path / name)
+        images.append({"id": i, "file_name": name})
+        annos.append({"image_id": i, "category_id": i % 3})
+    categories = [{"name": f"species_{c}", "genus": f"genus_{c % 2}"}
+                  for c in range(3)]
+    with open(tmp_path / "train2018.json", "w") as f:
+        json.dump({"images": images, "annotations": annos}, f)
+    with open(tmp_path / "categories.json", "w") as f:
+        json.dump(categories, f)
+
+    ds = build_dataset(True, data_set="INAT", data_path=str(tmp_path),
+                       transform=EvalTransform(16))
+    assert len(ds) == 6 and ds.num_classes == 3
+    img, label = ds.load(4, np.random.default_rng(0))
+    assert img.shape == (16, 16, 3) and label == 4 % 3
+
+    # coarser taxonomic granularity collapses classes
+    ds_genus = build_dataset(True, data_set="INAT", data_path=str(tmp_path),
+                             transform=EvalTransform(16), inat_category="genus")
+    assert ds_genus.num_classes == 2

@@ -153,7 +153,7 @@ def build_dataset(is_train: bool, *, data_set: str, data_path: str,
                   inat_category: str = "name") -> VisionDataset:
     """Reference ``build_dataset`` dispatch (datasets.py:71-101)."""
     data_set = data_set.upper()
-    if data_set == "CIFAR100":
+    if data_set in ("CIFAR", "CIFAR100"):  # reference flag value is 'CIFAR'
         return CIFAR100Dataset(data_path, train=is_train, transform=transform)
     if data_set == "IMNET":
         if use_holdout:
