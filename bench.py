@@ -23,8 +23,8 @@ import numpy as np
 
 V100_BASELINE_IMGS_PER_SEC_PER_CHIP = 350.0  # estimated (see module docstring)
 
-BATCH = int(os.environ.get("BENCH_BATCH", "128"))
-EXAMPLE_PER_ARCH = int(os.environ.get("BENCH_EPA", "8"))
+BATCH = int(os.environ.get("BENCH_BATCH", "256"))
+EXAMPLE_PER_ARCH = int(os.environ.get("BENCH_EPA", "16"))  # 16 archs/step, like the reference global batch
 STEPS = int(os.environ.get("BENCH_STEPS", "20"))
 WARMUP = int(os.environ.get("BENCH_WARMUP", "3"))
 
@@ -59,12 +59,13 @@ def main():
     sched = SupernetSchedules(net, space, example_per_arch=EXAMPLE_PER_ARCH,
                               num_warmup_epochs=0, arch_mode="multi")
     tcfg = TrainConfig(num_classes=1000, mixup_mode="token", patch_len=4)
-    step = make_train_step(model, tx, tcfg, schedule=cosine_schedule(ocfg))
+    step = make_train_step(model, tx, tcfg, schedule=cosine_schedule(ocfg),
+                           counts_unpack=sched.unpack)
 
     key = jax.random.PRNGKey(0)
 
     def one_step(state):
-        counts = sched.sample(rng, BATCH)
+        counts = sched.sample_packed(rng, BATCH)
         return step(state, images, labels, counts, key)
 
     # Per-step scalar materialization: block_until_ready is unreliable over

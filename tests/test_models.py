@@ -252,3 +252,40 @@ def test_teacher_regnet_forward():
     v = tiny.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
     out = tiny.apply(v, jnp.ones((1, 32, 32, 3)))
     assert out.shape == (1, 10)
+
+
+def test_packed_counts_roundtrip_and_equivalence():
+    batch = 4
+    sched = SupernetSchedules(SUPER, SPACE, example_per_arch=2,
+                              num_warmup_epochs=0, arch_mode="hybrid")
+    rng = np.random.default_rng(0)
+    counts = sched.sample(rng, batch)
+    vec = sched.pack(counts, batch)
+    assert vec.dtype == np.int32 and vec.ndim == 1
+    unpacked = sched.unpack(jnp.asarray(vec), batch)
+    # identical masks either way
+    m1 = build_arch_masks(counts, SUPER, batch)
+    m2 = build_arch_masks(unpacked, SUPER, batch)
+    for a, b in zip(jax.tree.leaves(m1), jax.tree.leaves(m2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_packed_counts_in_train_step():
+    from vit_search_tpu.train import (OptimConfig, TrainConfig, TrainState,
+                                      make_optimizer, make_train_step)
+
+    batch = 4
+    model = _model(SUPER)
+    x = jax.random.normal(jax.random.PRNGKey(0), (batch, IMG, IMG, 3))
+    y = jnp.zeros((batch,), jnp.int32)
+    variables = _init(model, batch=batch)
+    tx = make_optimizer(OptimConfig(steps_per_epoch=2), variables["params"])
+    state = TrainState.create(variables["params"], tx)
+    sched = SupernetSchedules(SUPER, SPACE, example_per_arch=2,
+                              num_warmup_epochs=0, arch_mode="multi")
+    step = make_train_step(model, tx, TrainConfig(num_classes=10),
+                           counts_unpack=sched.unpack, donate=False)
+    rng = np.random.default_rng(0)
+    vec = jnp.asarray(sched.sample_packed(rng, batch))
+    state, metrics = step(state, x, y, vec, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["loss"]))

@@ -286,8 +286,10 @@ def main(args) -> dict:
                          "(reference README constraint)")
 
     schedule = train.cosine_schedule(ocfg)
-    train_step = train.make_train_step(model, tx, tcfg, teacher_apply=teacher_apply,
-                                       schedule=schedule, donate=True)
+    train_step = train.make_train_step(
+        model, tx, tcfg, teacher_apply=teacher_apply, schedule=schedule,
+        donate=True,
+        counts_unpack=schedules.unpack if schedules is not None else None)
     eval_step = train.make_eval_step(model)
 
     state = parallel.replicate(mesh, state)
@@ -376,7 +378,7 @@ def main(args) -> dict:
             global_step = epoch * steps_per_epoch + it
             if args.profile_dir and epoch == start_epoch and it == 1:
                 jax.profiler.start_trace(args.profile_dir)
-            counts = (schedules.sample(host_rng, images.shape[0])
+            counts = (schedules.sample_packed(host_rng, images.shape[0])
                       if schedules is not None else None)
             images, labels = parallel.shard_batch(mesh, (
                 jnp.asarray(images), jnp.asarray(labels)))

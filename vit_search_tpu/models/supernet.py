@@ -103,6 +103,54 @@ class SupernetSchedules:
             counts["slots"][slot] = {k: s.full_counts() for k, s in site.items()}
         return counts
 
+    # -- packed transport: one int32 vector instead of ~dozens of tiny arrays
+    # (each traced array is a separate host->device transfer per step; over a
+    # high-latency link that dominates the masking overhead)
+
+    def _site_order(self):
+        order = []
+        if self.embed is not None:
+            order.append((("embed",), self.embed))
+        for slot in sorted(self.slots):
+            for key in sorted(self.slots[slot]):
+                order.append((("slots", slot, key), self.slots[slot][key]))
+        return order
+
+    def packed_layout(self, batch: int) -> tuple:
+        """Static (path, count_len) layout for a given batch size."""
+        layout = []
+        for path, sched in self._site_order():
+            n = 1 if sched.single_arch else batch // sched.example_per_arch
+            layout.append((path, n))
+        return tuple(layout)
+
+    def pack(self, counts: Dict, batch: int) -> np.ndarray:
+        parts = []
+        for path, n in self.packed_layout(batch):
+            node = counts
+            for key in path:
+                node = node[key]
+            assert len(node) == n, (path, len(node), n)
+            parts.append(np.asarray(node, dtype=np.int32))
+        return np.concatenate(parts)
+
+    def sample_packed(self, rng: np.random.Generator, batch: int) -> np.ndarray:
+        return self.pack(self.sample(rng, batch), batch)
+
+    def unpack(self, vector, batch: int) -> Dict:
+        """Inverse of :meth:`pack`; jit-friendly (static slices)."""
+        counts: Dict = {"embed": None, "slots": {}}
+        offset = 0
+        for path, n in self.packed_layout(batch):
+            piece = vector[offset:offset + n]
+            offset += n
+            if path == ("embed",):
+                counts["embed"] = piece
+            else:
+                _, slot, key = path
+                counts["slots"].setdefault(slot, {})[key] = piece
+        return counts
+
     def counts_for_subnets(self, sub_defs: Sequence[Sequence]) -> Dict:
         """Keep counts representing explicit candidate network_defs.
 

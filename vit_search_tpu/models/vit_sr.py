@@ -123,7 +123,9 @@ class VisionTransformerSR(nn.Module):
     drop_path_rate: float = 0.0
     dtype: jnp.dtype = jnp.float32
     # rematerialize transformer blocks in the backward pass (trades FLOPs
-    # for HBM; enables larger per-chip batches)
+    # for HBM; enables larger per-chip batches).  Currently supported for
+    # dense forwards; masked supernet forwards hit a flax remat tracing
+    # limitation with optional mask pytrees.
     remat: bool = False
 
     @property

@@ -15,11 +15,11 @@ from __future__ import annotations
 
 from typing import Dict, List, Optional, Sequence
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..models.supernet import SupernetSchedules
-from ..train.engine import make_per_example_correct_step
+from ..models.supernet import SupernetSchedules, build_arch_masks
 
 
 def _tile_counts(counts: Dict, batch: int) -> Dict:
@@ -34,6 +34,37 @@ def _tile_counts(counts: Dict, batch: int) -> Dict:
     return out
 
 
+def make_tiled_correct_step(model):
+    """Per-candidate correct counts with on-device batch replication.
+
+    The (B, H, W, 3) eval batch crosses host->device once; replication to
+    (A*B, ...) happens inside the compiled program, so scoring A candidates
+    costs the same transfer as scoring one.
+    """
+
+    def step(params, batch_stats, images, labels, counts):
+        variables = {"params": params}
+        if batch_stats:
+            variables["batch_stats"] = batch_stats
+        a = jax.tree.leaves(counts)[0].shape[0]
+        b = images.shape[0]
+        images_t = jnp.tile(images, (a, 1, 1, 1))
+        labels_t = jnp.tile(labels, a)
+        per_example = {"embed": None, "slots": {}}
+        if counts.get("embed") is not None:
+            per_example["embed"] = jnp.repeat(counts["embed"], b)
+        for slot, site in counts["slots"].items():
+            per_example["slots"][slot] = {k: jnp.repeat(v, b)
+                                          for k, v in site.items()}
+        masks = build_arch_masks(per_example, model.network_def, a * b)
+        outputs = model.apply(variables, images_t, masks, deterministic=True)
+        cls_pred = outputs[0] if isinstance(outputs, tuple) else outputs
+        correct = (jnp.argmax(cls_pred, axis=-1) == labels_t).astype(jnp.float32)
+        return correct.reshape(a, b).sum(axis=1)
+
+    return jax.jit(step)
+
+
 class BatchedSupernetEvaluator:
     """Score populations of network_defs on a fixed sub-val loader."""
 
@@ -45,22 +76,23 @@ class BatchedSupernetEvaluator:
         self.schedules = schedules
         self.loader = loader
         self.arch_batch = arch_batch
-        self._step = make_per_example_correct_step(model)
+        self._step = make_tiled_correct_step(model)
 
     def _score_chunk(self, sub_defs: Sequence) -> np.ndarray:
         a = len(sub_defs)
         counts = self.schedules.counts_for_subnets(sub_defs)
+        counts = {"embed": None if counts["embed"] is None
+                  else jnp.asarray(counts["embed"]),
+                  "slots": {slot: {k: jnp.asarray(v) for k, v in site.items()}
+                            for slot, site in counts["slots"].items()}}
         correct = np.zeros(a, dtype=np.float64)
         total = 0
         for images, labels in self.loader:
             b = images.shape[0]
-            tiled_counts = _tile_counts(counts, b)
-            images_t = jnp.asarray(np.tile(images, (a, 1, 1, 1)))
-            labels_t = jnp.asarray(np.tile(labels, a))
-            per_example = np.asarray(
-                self._step(self.params, self.batch_stats, images_t, labels_t,
-                           tiled_counts))
-            correct += per_example.reshape(a, b).sum(axis=1)
+            per_candidate = self._step(self.params, self.batch_stats,
+                                       jnp.asarray(images), jnp.asarray(labels),
+                                       counts)
+            correct += np.asarray(per_candidate, dtype=np.float64)
             total += b
         return correct / max(total, 1) * 100.0
 

@@ -72,12 +72,15 @@ def make_train_step(model: Any, tx: optax.GradientTransformation,
                     config: TrainConfig,
                     teacher_apply: Optional[Callable[[Array], Array]] = None,
                     schedule: Optional[Callable] = None,
-                    donate: bool = True) -> Callable:
+                    donate: bool = True,
+                    counts_unpack: Optional[Callable] = None) -> Callable:
     """Build the jitted train step.
 
     Returns ``step(state, images, labels, counts, rng) -> (state, metrics)``.
     ``counts`` is the keep-count pytree (or None for dense training) and
     ``rng`` a per-epoch PRNG key; per-step keys are folded internally.
+    With ``counts_unpack`` (``SupernetSchedules.unpack``), ``counts`` is a
+    single packed int32 vector — one host->device transfer per step.
     """
     has_bn = hasattr(model, "network_def") and model.network_def[0][0] != 0
     use_token_mixup = config.mixup_mode == "token"
@@ -92,6 +95,8 @@ def make_train_step(model: Any, tx: optax.GradientTransformation,
         images = random_erasing(k_erase, images, config.erasing_prob)
 
         batch = images.shape[0]
+        if counts is not None and counts_unpack is not None:
+            counts = counts_unpack(counts, batch)
         masks = build_arch_masks(counts, model.network_def, batch)
 
         patch_targets = None
