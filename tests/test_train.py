@@ -231,3 +231,29 @@ def test_remat_matches_non_remat():
     for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_remat_supernet_masked_step():
+    """remat + masked supernet forward/backward (larger-batch memory mode)."""
+    from vit_search_tpu.models import VisionTransformerSR
+
+    space = [np.array([16, 8]),
+             {"attn": np.array([16, 8]), "mlp": np.array([32, 16]), "layer": None},
+             np.array([32, 16]),
+             {"attn": np.array([32, 16]), "mlp": np.array([64, 32]),
+              "layer": np.array([32, 0])},
+             None]
+    model = VisionTransformerSR(network_def=NET, img_size=IMG, patch_size=PATCH,
+                                num_classes=NCLS, remat=True, drop_path_rate=0.1)
+    sched = SupernetSchedules(NET, space, example_per_arch=2,
+                              num_warmup_epochs=0, arch_mode="multi")
+    x, y = _synthetic_batch(np.random.default_rng(0), batch=4)
+    variables = model.init(jax.random.PRNGKey(0), x)
+    ocfg = OptimConfig(steps_per_epoch=2)
+    tx = make_optimizer(ocfg, variables["params"])
+    state = TrainState.create(variables["params"], tx)
+    step = make_train_step(model, tx, TrainConfig(num_classes=NCLS),
+                           counts_unpack=sched.unpack, donate=False)
+    vec = jnp.asarray(sched.sample_packed(np.random.default_rng(0), 4))
+    state, metrics = step(state, x, y, vec, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["loss"]))

@@ -158,7 +158,9 @@ class Block(nn.Module):
     @nn.compact
     def __call__(self, x: Array, embed_mask: Optional[Array] = None,
                  layer_mask: Optional[Array] = None, masks: Optional[dict] = None,
-                 *, deterministic: bool = True):
+                 deterministic: bool = True):
+        # NOTE: ``deterministic`` is positional-or-keyword so nn.remat can
+        # mark it static (flax remat traces keyword-only bools).
         masks = masks or {}
         attn_mask = masks.get("attn")
         mlp_mask = masks.get("mlp")

@@ -123,9 +123,7 @@ class VisionTransformerSR(nn.Module):
     drop_path_rate: float = 0.0
     dtype: jnp.dtype = jnp.float32
     # rematerialize transformer blocks in the backward pass (trades FLOPs
-    # for HBM; enables larger per-chip batches).  Currently supported for
-    # dense forwards; masked supernet forwards hit a flax remat tracing
-    # limitation with optional mask pytrees.
+    # for HBM; enables larger per-chip batches)
     remat: bool = False
 
     @property
@@ -160,7 +158,8 @@ class VisionTransformerSR(nn.Module):
         depth = nd.existing_depth(net)
         dpr = np.linspace(0.0, self.drop_path_rate, depth) if depth else []
 
-        block_cls = nn.remat(Block, static_argnums=()) if self.remat else Block
+        # static_argnums=(5,): the ``deterministic`` flag (arg 0 is self)
+        block_cls = nn.remat(Block, static_argnums=(5,)) if self.remat else Block
         blocks = {}
         d = 0
         for slot, block_def in enumerate(net):
@@ -230,8 +229,7 @@ class VisionTransformerSR(nn.Module):
                     layer_mask = None  # BypassBlock drops the chain
                     continue
                 x, layer_mask = block(x, embed_mask, layer_mask,
-                                      slot_masks.get(slot),
-                                      deterministic=deterministic)
+                                      slot_masks.get(slot), deterministic)
             elif btype == nd.SPATIAL_REDUCTION:
                 sr_mask = (slot_masks.get(slot) or {}).get("embed")
                 x, embed_mask = self._blocks[str(slot)](
