@@ -365,6 +365,8 @@ def main(args) -> dict:
                     state.params, network_def))
 
         metric_logger = utils.MetricLogger(logger=logger)
+        metric_logger.add_meter("lr", utils.SmoothedValue(
+            window_size=1, fmt="{value:.6f}"))
         rng = jax.random.fold_in(epoch_rng, epoch)
         # single/hybrid shared-arch sampling is host-independent: seed by
         # (epoch, step) like the reference RNG bracket (engine.py:119-132)
