@@ -68,3 +68,68 @@ def test_pallas_multi_tile_rows():
     want = masked_layer_norm(x, w, b, mask)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-5, atol=1e-5)
+
+
+# --- fused attention --------------------------------------------------------
+
+
+def _attn_ref(q, k, v, scale):
+    scores = jnp.einsum("bnhd,bmhd->bhnm", q, k,
+                        preferred_element_type=jnp.float32) * scale
+    probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(q.dtype)
+    return jnp.einsum("bhnm,bmhd->bnhd", probs, v)
+
+
+def _qkv(B=2, N=17, H=2, D=16, dtype=np.float32, seed=0):
+    rng = np.random.default_rng(seed)
+    mk = lambda: jnp.asarray(rng.normal(size=(B, N, H, D)).astype(dtype))
+    return mk(), mk(), mk()
+
+
+def test_fused_attention_forward_matches_reference():
+    from vit_search_tpu.ops.pallas.attention import fused_attention
+    q, k, v = _qkv()
+    scale = 16 ** -0.5
+    got = fused_attention(q, k, v, scale)
+    want = _attn_ref(q, k, v, scale)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_fused_attention_gradients_match():
+    from vit_search_tpu.ops.pallas.attention import fused_attention
+    q, k, v = _qkv(seed=1)
+    scale = 16 ** -0.5
+    g = jnp.asarray(np.random.default_rng(2).normal(size=q.shape)
+                    .astype(np.float32))
+
+    def loss(fn):
+        return lambda q_, k_, v_: jnp.sum(fn(q_, k_, v_, scale) * g)
+
+    got = jax.grad(loss(fused_attention), argnums=(0, 1, 2))(q, k, v)
+    want = jax.grad(loss(_attn_ref), argnums=(0, 1, 2))(q, k, v)
+    for a, e, name in zip(got, want, ("dq", "dk", "dv")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(e),
+                                   rtol=1e-3, atol=1e-4, err_msg=name)
+
+
+def test_fused_attention_bf16():
+    from vit_search_tpu.ops.pallas.attention import fused_attention
+    q, k, v = _qkv(dtype=np.float32, seed=3)
+    q16, k16, v16 = (x.astype(jnp.bfloat16) for x in (q, k, v))
+    got = fused_attention(q16, k16, v16, 0.25)
+    assert got.dtype == jnp.bfloat16
+    want = _attn_ref(q, k, v, 0.25)
+    np.testing.assert_allclose(np.asarray(got, dtype=np.float32),
+                               np.asarray(want), atol=0.05)
+
+
+def test_fused_attention_odd_seq_lengths():
+    """Non-tile-aligned N (257-style) must reduce correctly."""
+    from vit_search_tpu.ops.pallas.attention import fused_attention
+    for n in (9, 17, 65):
+        q, k, v = _qkv(N=n, seed=n)
+        got = fused_attention(q, k, v, 0.25)
+        want = _attn_ref(q, k, v, 0.25)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-4, atol=1e-5, err_msg=str(n))

@@ -15,6 +15,7 @@ Mask algebra (faithful to nets/supernet_blocks.py:209-255):
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import flax.linen as nn
@@ -22,6 +23,12 @@ import jax.numpy as jnp
 
 from ..ops import drop_path as _drop_path
 from ..ops import masked_layer_norm as _masked_ln
+
+# Fused Pallas attention (scores/probs stay in VMEM).  Opt-out via
+# VST_PALLAS_ATTN=0; the XLA path materializes f32 probability tensors in
+# HBM, which profiling shows is the dominant memory traffic at ViT-ResNAS
+# sequence lengths.
+_USE_PALLAS_ATTN = os.environ.get("VST_PALLAS_ATTN", "1") == "1"
 
 Array = jnp.ndarray
 
@@ -117,12 +124,20 @@ class Attention(nn.Module):
         qkv = qkv.reshape(batch, n_seq, 3, self.num_heads, self.head_dim)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
 
-        scores = jnp.einsum("bnhd,bmhd->bhnm", q, k,
-                            preferred_element_type=jnp.float32) * scale
-        probs = nn.softmax(scores.astype(jnp.float32), axis=-1).astype(self.dtype)
-        probs = nn.Dropout(self.attn_dropout_rate, deterministic=deterministic)(probs)
+        use_fused = _USE_PALLAS_ATTN
+        if use_fused:
+            from ..ops.pallas.attention import fused_attention, supported
 
-        out = jnp.einsum("bhnm,bmhd->bnhd", probs, v)
+            use_fused = supported(n_seq, self.head_dim, self.attn_dropout_rate)
+        if use_fused:
+            out = fused_attention(q, k, v, scale)
+        else:
+            scores = jnp.einsum("bnhd,bmhd->bhnm", q, k,
+                                preferred_element_type=jnp.float32) * scale
+            probs = nn.softmax(scores.astype(jnp.float32), axis=-1).astype(self.dtype)
+            probs = nn.Dropout(self.attn_dropout_rate,
+                               deterministic=deterministic)(probs)
+            out = jnp.einsum("bhnm,bmhd->bnhd", probs, v)
         out = out.reshape(batch, n_seq, width)
         out = apply_mask(out, width_mask)
         out = nn.Dense(self.out_features, dtype=self.dtype,
