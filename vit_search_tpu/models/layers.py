@@ -121,24 +121,28 @@ class Attention(nn.Module):
 
         qkv = nn.Dense(3 * width, dtype=self.dtype,
                        kernel_init=trunc_normal_init, name="qkv")(x)
-        qkv = qkv.reshape(batch, n_seq, 3, self.num_heads, self.head_dim)
-        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
 
         use_fused = _USE_PALLAS_ATTN
         if use_fused:
-            from ..ops.pallas.attention import fused_attention, supported
+            from ..ops.pallas.attention import fused_attention_packed, supported
 
             use_fused = supported(n_seq, self.head_dim, self.attn_dropout_rate)
         if use_fused:
-            out = fused_attention(q, k, v, scale)
+            # packed layout straight from the projection: no head transposes
+            q = qkv[:, :, :width]
+            k = qkv[:, :, width:2 * width]
+            v = qkv[:, :, 2 * width:]
+            out = fused_attention_packed(q, k, v, scale, self.num_heads)
         else:
+            qkv = qkv.reshape(batch, n_seq, 3, self.num_heads, self.head_dim)
+            q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
             scores = jnp.einsum("bnhd,bmhd->bhnm", q, k,
                                 preferred_element_type=jnp.float32) * scale
             probs = nn.softmax(scores.astype(jnp.float32), axis=-1).astype(self.dtype)
             probs = nn.Dropout(self.attn_dropout_rate,
                                deterministic=deterministic)(probs)
             out = jnp.einsum("bhnm,bmhd->bnhd", probs, v)
-        out = out.reshape(batch, n_seq, width)
+            out = out.reshape(batch, n_seq, width)
         out = apply_mask(out, width_mask)
         out = nn.Dense(self.out_features, dtype=self.dtype,
                        kernel_init=trunc_normal_init, name="proj")(out)
