@@ -23,8 +23,8 @@ import numpy as np
 
 V100_BASELINE_IMGS_PER_SEC_PER_CHIP = 350.0  # estimated (see module docstring)
 
-BATCH = int(os.environ.get("BENCH_BATCH", "256"))
-EXAMPLE_PER_ARCH = int(os.environ.get("BENCH_EPA", "16"))  # 16 archs/step, like the reference global batch
+BATCH = int(os.environ.get("BENCH_BATCH", "512"))
+EXAMPLE_PER_ARCH = int(os.environ.get("BENCH_EPA", "32"))  # 16 archs/step, like the reference global batch
 STEPS = int(os.environ.get("BENCH_STEPS", "20"))
 WARMUP = int(os.environ.get("BENCH_WARMUP", "3"))
 
