@@ -174,7 +174,7 @@ def main(args) -> dict:
     # --- data ------------------------------------------------------------
     train_transform = data.TrainTransform(
         size=args.input_size, rand_augment=args.aa,
-        color_jitter=args.color_jitter)
+        color_jitter=args.color_jitter, interpolation=args.train_interpolation)
     eval_transform = data.EvalTransform(size=args.input_size)
 
     dataset_train = data.build_dataset(
@@ -262,11 +262,13 @@ def main(args) -> dict:
     steps_per_epoch = len(loader_train)
     if args.max_steps_per_epoch:
         steps_per_epoch = min(steps_per_epoch, args.max_steps_per_epoch)
+    betas = args.opt_betas or (0.9, 0.999)
     ocfg = train.OptimConfig(
         base_lr=args.lr, min_lr=args.min_lr, warmup_lr=args.warmup_lr,
         warmup_epochs=args.warmup_epochs, epochs=args.epochs,
         weight_decay=args.weight_decay, clip_grad=args.clip_grad,
-        global_batch_size=global_batch, steps_per_epoch=max(1, steps_per_epoch))
+        global_batch_size=global_batch, steps_per_epoch=max(1, steps_per_epoch),
+        beta1=betas[0], beta2=betas[1], eps=args.opt_eps)
     tx = train.make_optimizer(ocfg, params)
     state = train.TrainState.create(params, tx, batch_stats,
                                     use_ema=args.model_ema)
@@ -277,6 +279,7 @@ def main(args) -> dict:
         num_classes=num_classes, smoothing=args.smoothing,
         mixup_mode=mixup_mode, mixup_alpha=args.mixup,
         cutmix_alpha=args.cutmix, mixup_switch_prob=args.mixup_switch_prob,
+        mixup_prob=args.mixup_prob,
         patch_len=args.mixup_patch_len,
         distill_alpha=args.distill_alpha, hard_distill=args.hard_distill,
         ema_decay=args.model_ema_decay if args.model_ema else None,

@@ -117,13 +117,16 @@ def switch_token_mix(rng: jax.Array, samples: Array, labels: Array, grid: int,
 
 def mixup_cutmix(rng: jax.Array, samples: Array, labels: Array, num_classes: int,
                  mixup_alpha: float = 0.8, cutmix_alpha: float = 1.0,
-                 switch_prob: float = 0.5, smoothing: float = 0.1):
+                 switch_prob: float = 0.5, smoothing: float = 0.1,
+                 mixup_prob: float = 1.0):
     """timm-style batchwise Mixup/CutMix switcher (datasets via main.py:308-316).
 
-    One draw decides mixup vs cutmix for the whole batch (timm ``mode='batch'``).
+    One draw decides mixup vs cutmix for the whole batch (timm
+    ``mode='batch'``); ``mixup_prob`` gates whether any mixing happens at all
+    (timm ``prob``; 1.0 in every published recipe).
     """
     b, img_h, img_w, _ = samples.shape
-    k_switch, k_perm, k_mix, k_cut, k_box = jax.random.split(rng, 5)
+    k_apply, k_switch, k_perm, k_mix, k_cut, k_box = jax.random.split(rng, 6)
     perm = jax.random.permutation(k_perm, b)
     use_cutmix = jax.random.uniform(k_switch) < switch_prob
 
@@ -150,5 +153,9 @@ def mixup_cutmix(rng: jax.Array, samples: Array, labels: Array, num_classes: int
 
     mixed = jnp.where(use_cutmix, mixed_cut, mixed_mix)
     lam = jnp.where(use_cutmix, lam_cut, lam_mix)
+    if mixup_prob < 1.0:
+        apply = jax.random.uniform(k_apply) < mixup_prob
+        mixed = jnp.where(apply, mixed, samples)
+        lam = jnp.where(apply, lam, 1.0)
     targets = mixup_targets(labels, perm, lam, num_classes, smoothing)
     return mixed, targets

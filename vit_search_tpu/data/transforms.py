@@ -142,9 +142,13 @@ class RandAugment:
 # --- crop/resize -----------------------------------------------------------------
 
 
+_INTERP_BY_NAME = {"bilinear": Image.BILINEAR, "bicubic": Image.BICUBIC}
+
+
 def random_resized_crop(img: Image.Image, size: int, rng: np.random.Generator,
                         scale: Tuple[float, float] = (0.08, 1.0),
-                        ratio: Tuple[float, float] = (3 / 4, 4 / 3)) -> Image.Image:
+                        ratio: Tuple[float, float] = (3 / 4, 4 / 3),
+                        interpolation: str = "random") -> Image.Image:
     w, h = img.size
     area = w * h
     for _ in range(10):
@@ -156,7 +160,10 @@ def random_resized_crop(img: Image.Image, size: int, rng: np.random.Generator,
         if 0 < cw <= w and 0 < ch <= h:
             x = int(rng.integers(0, w - cw + 1))
             y = int(rng.integers(0, h - ch + 1))
-            interp = _INTERPOLATIONS[int(rng.integers(2))]
+            if interpolation == "random":
+                interp = _INTERPOLATIONS[int(rng.integers(2))]
+            else:
+                interp = _INTERP_BY_NAME.get(interpolation, Image.BICUBIC)
             return img.resize((size, size), interp,
                               box=(x, y, x + cw, y + ch))
     # fallback: center crop
@@ -185,9 +192,11 @@ class TrainTransform:
     """RandomResizedCrop + HFlip + RandAugment -> uint8 HWC."""
 
     def __init__(self, size: int = 224, rand_augment: Optional[str] = "rand-m9-mstd0.5-inc1",
-                 color_jitter: float = 0.4, hflip: bool = True):
+                 color_jitter: float = 0.4, hflip: bool = True,
+                 interpolation: str = "bicubic"):
         self.size = size
         self.hflip = hflip
+        self.interpolation = interpolation
         self.rand_augment = None
         self.color_jitter = 0.0
         if rand_augment:
@@ -199,7 +208,8 @@ class TrainTransform:
 
     def __call__(self, img: Image.Image, rng: np.random.Generator) -> np.ndarray:
         img = img.convert("RGB")
-        img = random_resized_crop(img, self.size, rng)
+        img = random_resized_crop(img, self.size, rng,
+                                  interpolation=self.interpolation)
         if self.hflip and rng.random() < 0.5:
             img = img.transpose(Image.FLIP_LEFT_RIGHT)
         if self.rand_augment is not None:

@@ -55,6 +55,7 @@ class TrainConfig:
     mixup_alpha: float = 0.8
     cutmix_alpha: float = 1.0
     mixup_switch_prob: float = 0.5
+    mixup_prob: float = 1.0
     patch_len: int = 4              # token-mixup grid (56px patches: img/56)
     # knowledge distillation
     distill_alpha: float = 0.5
@@ -108,7 +109,8 @@ def make_train_step(model: Any, tx: optax.GradientTransformation,
             images_m, targets = mixup_lib.mixup_cutmix(
                 k_mix, images, labels, config.num_classes,
                 config.mixup_alpha, config.cutmix_alpha,
-                config.mixup_switch_prob, config.smoothing)
+                config.mixup_switch_prob, config.smoothing,
+                config.mixup_prob)
         else:
             images_m, targets = images, None
 

@@ -37,6 +37,9 @@ class OptimConfig:
     global_batch_size: int = 1024
     lr_scale_divisor: int = 512     # lr = base_lr * global_batch / 512
     steps_per_epoch: int = 1
+    beta1: float = 0.9              # --opt-betas
+    beta2: float = 0.999
+    eps: float = 1e-8               # --opt-eps
 
     @property
     def scaled_lr(self) -> float:
@@ -74,7 +77,7 @@ def weight_decay_mask(params: Any) -> Any:
 
 def make_optimizer(config: OptimConfig, params: Any) -> optax.GradientTransformation:
     schedule = cosine_schedule(config)
-    tx = optax.adamw(schedule, b1=0.9, b2=0.999, eps=1e-8,
+    tx = optax.adamw(schedule, b1=config.beta1, b2=config.beta2, eps=config.eps,
                      weight_decay=config.weight_decay,
                      mask=weight_decay_mask(params))
     if config.clip_grad:
