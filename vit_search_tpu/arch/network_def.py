@@ -37,7 +37,7 @@ from __future__ import annotations
 
 import ast
 import dataclasses
-from typing import Any, Iterable, List, Sequence, Tuple
+from typing import Any, List, Sequence, Tuple
 
 # --- Block type tags (wire format) -----------------------------------------
 

@@ -18,7 +18,7 @@ All randomness flows through explicit ``numpy.random.Generator`` instances.
 from __future__ import annotations
 
 import math
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 import numpy as np
 from PIL import Image, ImageEnhance, ImageOps

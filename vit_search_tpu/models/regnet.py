@@ -11,7 +11,7 @@ converted checkpoint via ``train.checkpoint``.
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Sequence
 
 import flax.linen as nn
 import jax

@@ -20,7 +20,7 @@ parameterless bypass slots that reset the layer-mask chain
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Sequence, Tuple
+from typing import Any, Dict, Optional, Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp

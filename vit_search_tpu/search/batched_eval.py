@@ -13,7 +13,7 @@ once.  Valid because candidate extraction is prefix slicing
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, List, Sequence
 
 import jax
 import jax.numpy as jnp
