@@ -58,6 +58,56 @@ def test_rand_augment_all_ops_run():
         assert out.size == img.size
 
 
+def test_rand_augment_timm_level_mappings():
+    """Goldens hand-derived from timm 0.3.2 auto_augment.py 'inc1'
+    level->arg fns (timm itself is not installed; the reference drives
+    these via create_transform('rand-m9-mstd0.5-inc1'), datasets.py)."""
+    from vit_search_tpu.data.transforms import _RA_FILL, RandAugment
+
+    # _posterize_increasing_level_to_arg: bits kept = 4 - int(4*level/10)
+    assert RandAugment.posterize_bits(9.0) == 1
+    assert RandAugment.posterize_bits(10.0) == 0
+    assert RandAugment.posterize_bits(0.0) == 4
+    assert RandAugment.posterize_bits(2.4) == 4
+    assert RandAugment.posterize_bits(2.5) == 3
+    # _solarize_increasing_level_to_arg: 256 - int(256*level/10)
+    assert RandAugment.solarize_thresh(9.0) == 26   # int(230.4) = 230
+    assert RandAugment.solarize_thresh(0.0) == 256
+    assert RandAugment.solarize_thresh(5.0) == 128
+    # _enhance_increasing_level_to_arg: 1 +/- 0.9*level/10
+    assert RandAugment.enhance_factor(9.0, False) == pytest.approx(1.81)
+    assert RandAugment.enhance_factor(9.0, True) == pytest.approx(0.19)
+    # AugmentOp fill = round(255 * IMAGENET_MEAN), timm transforms_factory
+    assert _RA_FILL == (124, 116, 104)
+
+    # posterize at m9 keeps exactly 1 bit -> channel values in {0, 128}
+    grad = Image.fromarray(
+        np.tile(np.arange(256, dtype=np.uint8), (8, 1))[..., None].repeat(3, -1))
+    ra = RandAugment()
+    out = np.asarray(ra._posterize(grad, 9.0, np.random.default_rng(0)))
+    assert set(np.unique(out)) == {0, 128}
+    # bits >= 8 is a no-op (timm posterize guard; unreachable for 'inc1'
+    # levels in [0, 10] but part of the op contract)
+    assert RandAugment.posterize_bits(-10.0) == 8
+    same = ra._posterize(grad, -10.0, np.random.default_rng(0))
+    assert same is grad
+
+
+def test_rand_augment_apply_probability():
+    """timm AugmentOp applies each chosen layer with prob 0.5."""
+    from vit_search_tpu.data.transforms import RandAugment
+
+    img = Image.fromarray(np.full((8, 8, 3), 200, dtype=np.uint8))
+    # force the invert op only, mstd 0 -> any application changes the image
+    ra = RandAugment(num_ops=1, magnitude=9.0, mag_std=0.0)
+    ra.ops = [ra._invert]
+    rng = np.random.default_rng(0)
+    changed = sum(
+        not np.array_equal(np.asarray(ra(img, rng)), np.asarray(img))
+        for _ in range(2000))
+    assert 900 < changed < 1100  # ~Binomial(2000, 0.5)
+
+
 # --- samplers -------------------------------------------------------------------
 
 def test_repeated_augment_sampler_semantics():

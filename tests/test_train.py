@@ -1,5 +1,6 @@
 """Training-layer integration tests (tiny nets, synthetic data, CPU mesh)."""
 
+import dataclasses
 import os
 import tempfile
 
@@ -132,15 +133,67 @@ def test_weight_decay_mask_excludes_tokens_and_1d():
     assert mask["pos_embed"] is True  # reference decays pos_embed (3-D param)
 
 
-def test_cosine_schedule_curve():
+def test_cosine_schedule_timm_goldens():
+    """Pins the per-epoch LR curve to timm 0.3.2 CosineLRScheduler for the
+    published 300-epoch recipe (reference main.py:110-131,388,462: warmup 5,
+    cosine over the FULL t_initial=300 — warmup not subtracted — constant
+    within an epoch).  Goldens hand-derived from timm 0.3.2
+    scheduler/cosine_lr.py:_get_lr (timm itself is not installed here)."""
+    from vit_search_tpu.train.optim import timm_epoch_lrs
+
     cfg = OptimConfig(base_lr=5e-4, min_lr=1e-5, warmup_lr=1e-6,
-                      warmup_epochs=5, epochs=100, steps_per_epoch=10,
+                      warmup_epochs=5, epochs=300, steps_per_epoch=10,
                       global_batch_size=1024)
+    assert cfg.scaled_lr == pytest.approx(1e-3)
+    lrs = timm_epoch_lrs(cfg)
+    golden = {0: 1e-06, 1: 2.008e-04, 4: 8.002e-04,
+              5: 9.99321619703514e-04,     # first cosine epoch < peak
+              6: 9.990232305719944e-04,
+              150: 5.05e-04, 299: 1.002714116407149e-05}
+    for t, v in golden.items():
+        assert lrs[t] == pytest.approx(v, rel=1e-9), t
+
+    # per-step schedule is constant within an epoch and clips past the end
     sched = cosine_schedule(cfg)
-    assert float(sched(0)) == pytest.approx(1e-6, rel=1e-3)
-    assert float(sched(50)) == pytest.approx(cfg.scaled_lr, rel=1e-3)  # peak=1e-3
-    assert float(sched(1000)) == pytest.approx(1e-5, rel=1e-2)
-    assert cfg.scaled_lr == pytest.approx(5e-4 * 2)
+    assert float(sched(0)) == pytest.approx(1e-6, rel=1e-5)
+    assert float(sched(9)) == pytest.approx(1e-6, rel=1e-5)
+    assert float(sched(10)) == pytest.approx(golden[1], rel=1e-5)
+    assert float(sched(2999)) == pytest.approx(golden[299], rel=1e-5)
+    assert float(sched(5000)) == pytest.approx(golden[299], rel=1e-5)
+
+    # 120-epoch supernet recipe (global batch 512 -> peak 5e-4)
+    sup = OptimConfig(base_lr=5e-4, warmup_epochs=5, epochs=120,
+                      global_batch_size=512)
+    slrs = timm_epoch_lrs(sup)
+    assert slrs[5] == pytest.approx(4.979039910365836e-04, rel=1e-9)
+    assert slrs[119] == pytest.approx(1.0083955380988473e-05, rel=1e-9)
+
+
+def test_lr_noise_timm_semantics():
+    """--lr-noise: multiplicative noise seeded torch.manual_seed(seed+t),
+    resampled until |n| < noise_pct, applied only inside the on/off range
+    (timm 0.3.2 Scheduler._add_noise)."""
+    import torch
+
+    from vit_search_tpu.train.optim import timm_epoch_lrs
+
+    base = OptimConfig(base_lr=5e-4, warmup_epochs=0, epochs=10,
+                       global_batch_size=512, seed=7)
+    quiet = timm_epoch_lrs(base)
+    noisy = timm_epoch_lrs(dataclasses.replace(base, lr_noise=(0.5, 0.8)))
+    # noise window = [5, 8): identical outside, perturbed inside
+    for t in range(10):
+        inside = 5 <= t < 8
+        if not inside:
+            assert noisy[t] == quiet[t], t
+            continue
+        g = torch.Generator()
+        g.manual_seed(7 + t)
+        while True:
+            n = torch.randn(1, generator=g).item()
+            if abs(n) < 0.67:
+                break
+        assert noisy[t] == pytest.approx(quiet[t] * (1 + n), rel=1e-12), t
 
 
 def test_checkpoint_roundtrip(tmp_path):

@@ -77,6 +77,9 @@ def get_args_parser() -> argparse.ArgumentParser:
     # LR schedule
     parser.add_argument("--sched", default="cosine", type=str)
     parser.add_argument("--lr", type=float, default=5e-4)
+    parser.add_argument("--lr-noise", type=float, nargs="+", default=None)
+    parser.add_argument("--lr-noise-pct", type=float, default=0.67)
+    parser.add_argument("--lr-noise-std", type=float, default=1.0)
     parser.add_argument("--warmup-lr", type=float, default=1e-6)
     parser.add_argument("--min-lr", type=float, default=1e-5)
     parser.add_argument("--warmup-epochs", type=int, default=5)
@@ -268,7 +271,10 @@ def main(args) -> dict:
         warmup_epochs=args.warmup_epochs, epochs=args.epochs,
         weight_decay=args.weight_decay, clip_grad=args.clip_grad,
         global_batch_size=global_batch, steps_per_epoch=max(1, steps_per_epoch),
-        beta1=betas[0], beta2=betas[1], eps=args.opt_eps)
+        beta1=betas[0], beta2=betas[1], eps=args.opt_eps,
+        lr_noise=args.lr_noise, lr_noise_pct=args.lr_noise_pct,
+        lr_noise_std=args.lr_noise_std, seed=args.seed,
+        cooldown_epochs=args.cooldown_epochs)
     tx = train.make_optimizer(ocfg, params)
     state = train.TrainState.create(params, tx, batch_stats,
                                     use_ema=args.model_ema)

@@ -31,25 +31,35 @@ _INTERPOLATIONS = (Image.BILINEAR, Image.BICUBIC)
 
 # --- RandAugment -------------------------------------------------------------
 #
-# The 'rand-m9-mstd0.5-inc1' policy: 2 ops per image, magnitude ~N(9, 0.5*?)
-# actually magnitude drawn as N(m, mstd) clipped to [0, 10], 'inc1' selects
-# transforms whose strength increases with magnitude.
+# Pinned to timm 0.3.2 auto_augment.py semantics for the reference's policy
+# 'rand-m9-mstd0.5-inc1' (reference datasets.py create_transform defaults,
+# main.py:138-144):
+# - 2 layers per image, each op drawn uniformly from the 15
+#   _RAND_INCREASING_TRANSFORMS and APPLIED WITH PROBABILITY 0.5;
+# - per-application magnitude ~ N(m, mstd) clipped to [0, 10];
+# - 'inc1' (increasing-severity) level->arg mappings, including
+#   posterize "bits kept" = 4 - int(4*level/10) and solarize threshold
+#   256 - int(256*level/10);
+# - geometric ops resample with the pipeline interpolation (bicubic for the
+#   published recipes; 'random' -> per-application bilinear/bicubic pick)
+#   and fill with round(255 * IMAGENET_MEAN) = (124, 116, 104).
 
 _MAX_LEVEL = 10.0
 
-
-def _enhance_factor(level: float) -> float:
-    # increasing variant: factor 1 +/- 0.9*level/10 (random sign)
-    return 1.0 + 0.9 * level / _MAX_LEVEL
+_RA_FILL = tuple(min(255, round(255 * m)) for m in IMAGENET_MEAN)  # (124,116,104)
 
 
 class RandAugment:
     def __init__(self, num_ops: int = 2, magnitude: float = 9.0,
-                 mag_std: float = 0.5, fill: Tuple[int, int, int] = (128, 128, 128)):
+                 mag_std: float = 0.5, prob: float = 0.5,
+                 fill: Tuple[int, int, int] = _RA_FILL,
+                 interpolation: str = "bicubic"):
         self.num_ops = num_ops
         self.magnitude = magnitude
         self.mag_std = mag_std
+        self.prob = prob
         self.fill = fill
+        self.interpolation = interpolation
         self.ops = [
             self._auto_contrast, self._equalize, self._invert,
             self._rotate, self._posterize, self._solarize, self._solarize_add,
@@ -60,12 +70,19 @@ class RandAugment:
     def __call__(self, img: Image.Image, rng: np.random.Generator) -> Image.Image:
         for _ in range(self.num_ops):
             op = self.ops[int(rng.integers(len(self.ops)))]
+            if self.prob < 1.0 and rng.random() > self.prob:
+                continue  # timm AugmentOp: each op applies with prob 0.5
             level = self.magnitude
             if self.mag_std > 0:
                 level = float(rng.normal(self.magnitude, self.mag_std))
             level = float(np.clip(level, 0.0, _MAX_LEVEL))
             img = op(img, level, rng)
         return img
+
+    def _resample(self, rng):
+        if self.interpolation == "random":
+            return _INTERPOLATIONS[int(rng.integers(2))]
+        return _INTERP_BY_NAME.get(self.interpolation, Image.BICUBIC)
 
     # -- ops (each takes (img, level, rng)) --
     def _auto_contrast(self, img, level, rng):
@@ -81,27 +98,45 @@ class RandAugment:
         degrees = 30.0 * level / _MAX_LEVEL
         if rng.random() < 0.5:
             degrees = -degrees
-        return img.rotate(degrees, resample=Image.BILINEAR, fillcolor=self.fill)
+        return img.rotate(degrees, resample=self._resample(rng),
+                          fillcolor=self.fill)
+
+    @staticmethod
+    def posterize_bits(level: float) -> int:
+        """'inc1' bits-to-keep (timm _posterize_increasing_level_to_arg):
+        4 - int(4*level/10); m9 keeps 1 bit, >=8 is a no-op."""
+        return 4 - int(4 * level / _MAX_LEVEL)
 
     def _posterize(self, img, level, rng):
-        # increasing: high level keeps more bits removed; 4 -> 0 bits removed
-        bits = 4 - int(4 * level / _MAX_LEVEL)
-        return ImageOps.posterize(img, max(1, 4 + bits))
+        bits = self.posterize_bits(level)
+        if bits >= 8:
+            return img
+        return ImageOps.posterize(img, bits)
+
+    @staticmethod
+    def solarize_thresh(level: float) -> int:
+        """'inc1' threshold (timm _solarize_increasing_level_to_arg):
+        256 - int(256*level/10); m9 -> 26."""
+        return 256 - int(256 * level / _MAX_LEVEL)
 
     def _solarize(self, img, level, rng):
-        thresh = int(256 - 256 * level / _MAX_LEVEL)
-        return ImageOps.solarize(img, thresh)
+        return ImageOps.solarize(img, self.solarize_thresh(level))
 
     def _solarize_add(self, img, level, rng):
-        add = int(110 * level / _MAX_LEVEL)
+        add = int(level / _MAX_LEVEL * 110)
         arr = np.asarray(img).astype(np.int32)
         arr = np.where(arr < 128, np.clip(arr + add, 0, 255), arr)
         return Image.fromarray(arr.astype(np.uint8))
 
+    @staticmethod
+    def enhance_factor(level: float, negate: bool) -> float:
+        """'inc1' enhance factor (timm _enhance_increasing_level_to_arg):
+        1 +/- 0.9*level/10."""
+        v = 0.9 * level / _MAX_LEVEL
+        return 1.0 - v if negate else 1.0 + v
+
     def _enhance(self, cls, img, level, rng):
-        factor = _enhance_factor(level)
-        if rng.random() < 0.5:
-            factor = 2.0 - factor  # random sign around 1
+        factor = self.enhance_factor(level, rng.random() < 0.5)
         return cls(img).enhance(factor)
 
     def _color(self, img, level, rng):
@@ -116,27 +151,27 @@ class RandAugment:
     def _sharpness(self, img, level, rng):
         return self._enhance(ImageEnhance.Sharpness, img, level, rng)
 
-    def _affine(self, img, matrix):
+    def _affine(self, img, matrix, rng):
         return img.transform(img.size, Image.AFFINE, matrix,
-                             resample=Image.BILINEAR, fillcolor=self.fill)
+                             resample=self._resample(rng), fillcolor=self.fill)
 
     def _shear_x(self, img, level, rng):
         s = 0.3 * level / _MAX_LEVEL * (1 if rng.random() < 0.5 else -1)
-        return self._affine(img, (1, s, 0, 0, 1, 0))
+        return self._affine(img, (1, s, 0, 0, 1, 0), rng)
 
     def _shear_y(self, img, level, rng):
         s = 0.3 * level / _MAX_LEVEL * (1 if rng.random() < 0.5 else -1)
-        return self._affine(img, (1, 0, 0, s, 1, 0))
+        return self._affine(img, (1, 0, 0, s, 1, 0), rng)
 
     def _translate_x(self, img, level, rng):
         t = 0.45 * level / _MAX_LEVEL * img.size[0]
         t = t if rng.random() < 0.5 else -t
-        return self._affine(img, (1, 0, t, 0, 1, 0))
+        return self._affine(img, (1, 0, t, 0, 1, 0), rng)
 
     def _translate_y(self, img, level, rng):
         t = 0.45 * level / _MAX_LEVEL * img.size[1]
         t = t if rng.random() < 0.5 else -t
-        return self._affine(img, (1, 0, 0, 0, 1, t))
+        return self._affine(img, (1, 0, 0, 0, 1, t), rng)
 
 
 # --- crop/resize -----------------------------------------------------------------
@@ -201,7 +236,7 @@ class TrainTransform:
         self.color_jitter = 0.0
         if rand_augment:
             params = _parse_rand_augment(rand_augment)
-            self.rand_augment = RandAugment(**params)
+            self.rand_augment = RandAugment(interpolation=interpolation, **params)
         else:
             # timm only applies color jitter when auto-augment is off
             self.color_jitter = color_jitter

@@ -4,8 +4,18 @@ Parity targets:
 - AdamW, base lr 5e-4 scaled linearly by ``global_batch / 512``
   (reference main.py:113,383-384), betas/eps at torch AdamW defaults,
   weight decay 0.05 (main.py:111);
-- cosine decay to ``min_lr`` with linear warmup from ``warmup_lr`` over
-  ``warmup_epochs`` (timm ``create_scheduler`` defaults; main.py:107-128);
+- the exact per-epoch LR curve of timm 0.3.2's ``CosineLRScheduler`` as the
+  reference drives it (``create_scheduler`` main.py:388, ``step(epoch)`` at
+  the top of every epoch main.py:462): linear warmup from ``warmup_lr``
+  over ``warmup_epochs``, then ``min_lr + 0.5*(peak-min_lr)*(1+cos(pi *
+  epoch / epochs))`` — the cosine spans the FULL ``t_initial`` including
+  the warmup region (timm does not subtract warmup), LR is constant within
+  an epoch, and epochs past the single cycle sit at ``min_lr``.  Optional
+  ``--lr-noise`` multiplicative noise uses a torch generator seeded
+  ``seed + epoch`` exactly like timm's ``Scheduler._add_noise``.
+  Note ``--cooldown-epochs`` is inert in the reference too: main.py:388
+  discards ``create_scheduler``'s adjusted epoch count and the train loop
+  runs ``range(args.epochs)`` (main.py:460);
 - weight decay skips 1-D parameters (norm scales/biases, biases) and the
   class/distill token table, matching timm's ``add_weight_decay`` driven by
   ``model.no_weight_decay()`` (reference nets/vit_sr_supernet.py:379-385);
@@ -18,10 +28,12 @@ reference's per-epoch curve exactly at epoch boundaries.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Optional
+import math
+from typing import Any, Optional, Sequence, Union
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 
@@ -40,26 +52,88 @@ class OptimConfig:
     beta1: float = 0.9              # --opt-betas
     beta2: float = 0.999
     eps: float = 1e-8               # --opt-eps
+    # --lr-noise [pct] or [on_pct, off_pct] (fractions of total epochs);
+    # None disables noise (reference default, main.py:115-120).
+    lr_noise: Optional[Union[float, Sequence[float]]] = None
+    lr_noise_pct: float = 0.67
+    lr_noise_std: float = 1.0       # stored-but-unused, same quirk as timm 0.3.2
+    seed: int = 0                   # timm noise_seed = args.seed
+    # Parsed for parity only: the reference discards create_scheduler's
+    # cooldown-adjusted epoch count (main.py:388) so cooldown never runs.
+    cooldown_epochs: int = 10
 
     @property
     def scaled_lr(self) -> float:
         return self.base_lr * self.global_batch_size / self.lr_scale_divisor
 
 
+def timm_epoch_lrs(config: OptimConfig) -> np.ndarray:
+    """Per-epoch LRs identical to timm 0.3.2 ``CosineLRScheduler._get_lr``.
+
+    ``t_initial = epochs``, ``t_mul = 1``, ``cycle_limit = 1``,
+    ``warmup_prefix = False`` — the values ``create_scheduler`` passes for
+    the reference's ``--sched cosine`` (reference main.py:110-131,388).
+    Returns one value per training epoch (``range(args.epochs)``,
+    main.py:460-462).
+    """
+    peak = float(config.scaled_lr)
+    epochs = max(1, int(config.epochs))
+    warmup_t = int(config.warmup_epochs)
+    lrs = np.empty((epochs,), np.float64)
+    for t in range(epochs):
+        if warmup_t and t < warmup_t:
+            lrs[t] = config.warmup_lr + t * (peak - config.warmup_lr) / warmup_t
+        elif t < epochs:  # i = t // t_initial == 0 < cycle_limit
+            lrs[t] = config.min_lr + 0.5 * (peak - config.min_lr) * (
+                1.0 + math.cos(math.pi * t / epochs))
+    if config.lr_noise is not None:
+        lrs = _apply_timm_lr_noise(lrs, config)
+    return lrs
+
+
+def _apply_timm_lr_noise(lrs: np.ndarray, config: OptimConfig) -> np.ndarray:
+    """timm 0.3.2 ``Scheduler._add_noise``: per-epoch multiplicative noise
+    from ``torch.Generator().manual_seed(seed + t)``, resampled until
+    ``|n| < noise_pct``.  Uses torch (installed) for bit-exact parity."""
+    import torch
+
+    noise = config.lr_noise
+    epochs = len(lrs)
+    if isinstance(noise, (list, tuple)):
+        rng = [float(n) * epochs for n in noise]
+        if len(rng) == 1:
+            rng = rng[0]
+    else:
+        rng = float(noise) * epochs
+    out = lrs.copy()
+    for t in range(epochs):
+        if isinstance(rng, list):
+            apply = rng[0] <= t < rng[1]
+        else:
+            apply = t >= rng
+        if not apply:
+            continue
+        g = torch.Generator()
+        g.manual_seed(config.seed + t)
+        while True:
+            n = torch.randn(1, generator=g).item()
+            if abs(n) < config.lr_noise_pct:
+                break
+        out[t] = out[t] + out[t] * n
+    return out
+
+
 def cosine_schedule(config: OptimConfig) -> optax.Schedule:
-    warmup_steps = config.warmup_epochs * config.steps_per_epoch
-    total_steps = config.epochs * config.steps_per_epoch
-    decay_steps = max(1, total_steps - warmup_steps)
-    peak = config.scaled_lr
+    """Per-step schedule: the timm per-epoch value, constant within an
+    epoch (the reference steps the scheduler once per epoch,
+    main.py:462)."""
+    lrs = jnp.asarray(timm_epoch_lrs(config), jnp.float32)
+    spe = max(1, int(config.steps_per_epoch))
+    last = len(lrs) - 1
 
     def schedule(step):
-        step = jnp.asarray(step, jnp.float32)
-        warm = config.warmup_lr + (peak - config.warmup_lr) * (
-            step / jnp.maximum(1.0, warmup_steps))
-        progress = jnp.clip((step - warmup_steps) / decay_steps, 0.0, 1.0)
-        cos = config.min_lr + 0.5 * (peak - config.min_lr) * (
-            1.0 + jnp.cos(jnp.pi * progress))
-        return jnp.where(step < warmup_steps, warm, cos)
+        epoch = jnp.clip(jnp.asarray(step) // spe, 0, last)
+        return lrs[epoch]
 
     return schedule
 
