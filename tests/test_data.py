@@ -199,6 +199,55 @@ def test_build_dataset_synthetic_and_holdout_dispatch(tmp_path):
     assert not (set(p for p, _ in sub_train.samples) & val_names)
 
 
+def test_reference_holdout_pickle_import(tmp_path):
+    """A sub_val_files.pickle in the reference's format (dict of
+    class -> file names, search_utils/build_subset.py:28-57) takes
+    precedence over fresh seeded selection."""
+    import json
+    import pickle
+    import subprocess
+    import sys
+
+    from vit_search_tpu.data import convert_reference_pickle
+
+    root = tmp_path
+    _make_imagefolder(root / "train")
+    classes = sorted(d.name for d in os.scandir(root / "train"))
+    # pin a specific 1-image/class holdout, deliberately NOT what seed 0
+    # would pick (first file of each class, unsorted-pickle order)
+    pinned = {cls: [sorted(os.listdir(root / "train" / cls))[0]]
+              for cls in classes}
+    pkl = root / "sub_val_files.pickle"
+    with open(pkl, "wb") as f:
+        pickle.dump(pinned, f)
+
+    manifest = build_subsets(str(root))  # auto-detects the pickle
+    with open(manifest) as f:
+        assert json.load(f) == pinned
+    sub_val = build_dataset(False, data_set="IMNET", data_path=str(root),
+                            transform=EvalTransform(16), use_holdout=True)
+    assert sorted(os.path.basename(p) for p, _ in sub_val.samples) == sorted(
+        n for names in pinned.values() for n in names)
+
+    # validation mirrors reference build_subset.py:64-70
+    with pytest.raises(ValueError):
+        convert_reference_pickle(str(pkl), expect_classes=1000)
+    with pytest.raises(ValueError):
+        convert_reference_pickle(str(pkl), expect_per_class=25)
+    assert convert_reference_pickle(
+        str(pkl), expect_classes=len(classes), expect_per_class=1) == pinned
+
+    # module CLI --convert-only path
+    out = root / "converted.json"
+    subprocess.run([sys.executable, "-m", "vit_search_tpu.data.subset",
+                    str(root), "--convert-only",
+                    "--reference-pickle", str(pkl),
+                    "--manifest", str(out)],
+                   check=True, capture_output=True)
+    with open(out) as f:
+        assert json.load(f) == pinned
+
+
 # --- device-side mixing -----------------------------------------------------------
 
 def test_switch_token_mix_targets_sum_to_one():

@@ -156,3 +156,95 @@ def test_native_backend_auto_engages():
         return
     evolver = PopulationEvolver(LARGEST, SPACE, CONSTRAINT, EST, seed=0)
     assert evolver.native is not None
+
+
+# --- batched candidate scoring ----------------------------------------------------
+
+def test_batched_eval_score_heads():
+    """Distill supernets are scored by the dst head like the reference
+    (evo_search.py:280-285); each head's scores match direct per-candidate
+    masked forwards."""
+    import jax
+    import jax.numpy as jnp
+
+    from vit_search_tpu.models import (SupernetSchedules, VisionTransformerSR,
+                                       build_arch_masks)
+    from vit_search_tpu.search.batched_eval import BatchedSupernetEvaluator
+
+    super_def = ((0, 16),
+                 (1, (16, 4, 4), (16, 32), 1),
+                 (1, (16, 4, 4), (16, 32), 1),
+                 (3, 16, 32),
+                 (1, (32, 4, 8), (32, 64), 1),
+                 (2, 32, 10))
+    sub_def = ((0, 12),
+               (1, (12, 2, 4), (12, 16), 1),
+               (1, (12, 2, 4), (12, 16), 0),
+               (3, 12, 24),
+               (1, (24, 2, 8), (24, 32), 1),
+               (2, 24, 10))
+    space = [np.array([16, 12, 8]),
+             {"attn": np.array([16, 8]), "mlp": np.array([32, 16]),
+              "layer": None},
+             {"attn": np.array([16, 8]), "mlp": np.array([32, 16]),
+              "layer": np.array([16, 0])},
+             np.array([32, 24]),
+             {"attn": np.array([32, 16]), "mlp": np.array([64, 32]),
+              "layer": None},
+             None]
+
+    model = VisionTransformerSR(network_def=super_def, img_size=28,
+                                patch_size=7, num_classes=10,
+                                distill_token=True)
+    rng = np.random.default_rng(0)
+    images = rng.normal(size=(6, 28, 28, 3)).astype(np.float32)
+    labels = rng.integers(0, 10, size=(6,)).astype(np.int32)
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(images))
+    params = variables["params"]
+    loader = [(images, labels)]
+
+    schedules = SupernetSchedules(super_def, space, example_per_arch=1,
+                                  num_warmup_epochs=0, arch_mode="multi")
+    defs = [super_def, sub_def]
+
+    # direct per-candidate scoring (the contract the tiled step must meet)
+    def direct(head):
+        out = []
+        for d in defs:
+            counts = schedules.counts_for_subnets([d])
+            per_ex = {"embed": None if counts["embed"] is None
+                      else np.repeat(counts["embed"], len(images)),
+                      "slots": {s: {k: np.repeat(v, len(images))
+                                    for k, v in site.items()}
+                                for s, site in counts["slots"].items()}}
+            masks = build_arch_masks(jax.tree.map(jnp.asarray, per_ex),
+                                     super_def, len(images))
+            cls, dst = model.apply({"params": params}, jnp.asarray(images),
+                                   masks, deterministic=True)
+            pred = {"cls": cls, "dst": dst,
+                    "joint": (jax.nn.softmax(cls.astype(jnp.float32), -1)
+                              + jax.nn.softmax(dst.astype(jnp.float32), -1))
+                    }[head]
+            acc = float((jnp.argmax(pred, -1) == jnp.asarray(labels)).mean())
+            out.append(acc * 100.0)
+        return out
+
+    auto = BatchedSupernetEvaluator(model, params, None, schedules, loader,
+                                    arch_batch=2)
+    assert auto.score_head == "dst"  # distill supernet -> dst, like reference
+    np.testing.assert_allclose(auto.score(defs), direct("dst"), atol=1e-4)
+    for head in ("cls", "joint"):
+        ev = BatchedSupernetEvaluator(model, params, None, schedules, loader,
+                                      arch_batch=2, score_head=head)
+        np.testing.assert_allclose(ev.score(defs), direct(head), atol=1e-4)
+
+    # non-distill supernets auto-select cls and reject dst scoring
+    plain = VisionTransformerSR(network_def=super_def, img_size=28,
+                                patch_size=7, num_classes=10)
+    pvars = plain.init(jax.random.PRNGKey(0), jnp.asarray(images))
+    ev = BatchedSupernetEvaluator(plain, pvars["params"], None, schedules,
+                                  loader, arch_batch=2)
+    assert ev.score_head == "cls"
+    with pytest.raises(ValueError):
+        BatchedSupernetEvaluator(plain, pvars["params"], None, schedules,
+                                 loader, arch_batch=2, score_head="dst")

@@ -51,6 +51,11 @@ def get_args_parser() -> argparse.ArgumentParser:
                         help="stem patch size (default: inferred from model name)")
     parser.add_argument("--arch-batch", default=8, type=int,
                         help="candidates scored per compiled batch")
+    parser.add_argument("--score-head", default="auto",
+                        choices=["auto", "cls", "dst", "joint"],
+                        help="fitness logits; 'auto' mirrors the reference "
+                             "(dst_acc1 for distill supernets, acc1 "
+                             "otherwise, evo_search.py:280-285)")
     parser.add_argument("--output_dir", default="")
     parser.add_argument("--print-freq", default=100, type=int)
     parser.add_argument("--bf16", action="store_true", default=True)
@@ -118,7 +123,9 @@ def main(args) -> dict:
     schedules = SupernetSchedules(network_def, space, example_per_arch=1,
                                   num_warmup_epochs=0, arch_mode="multi")
     evaluator = BatchedSupernetEvaluator(model, params, batch_stats, schedules,
-                                         loader, arch_batch=args.arch_batch)
+                                         loader, arch_batch=args.arch_batch,
+                                         score_head=args.score_head)
+    logger.info(f"Scoring candidates by '{evaluator.score_head}' accuracy")
 
     patch_size = args.patch_size or (14 if "patch14" in args.model else 16)
     estimator = arch.ComputationEstimator(

@@ -6,7 +6,7 @@ from .datasets import (CIFAR100Dataset, ImageFolderDataset, INatDataset,
 from .erasing import random_erasing
 from .loader import DataLoader, normalize_images
 from .samplers import RepeatedAugmentSampler, ShardedSampler
-from .subset import build_subsets, select_holdout
+from .subset import build_subsets, convert_reference_pickle, select_holdout
 from .transforms import (EvalTransform, IMAGENET_MEAN, IMAGENET_STD,
                          RandAugment, TrainTransform)
 
@@ -25,6 +25,7 @@ __all__ = [
     "TrainTransform",
     "build_dataset",
     "build_subsets",
+    "convert_reference_pickle",
     "datasets",
     "erasing",
     "loader",

@@ -34,13 +34,24 @@ def _tile_counts(counts: Dict, batch: int) -> Dict:
     return out
 
 
-def make_tiled_correct_step(model):
+def make_tiled_correct_step(model, score_head: str = "cls"):
     """Per-candidate correct counts with on-device batch replication.
 
     The (B, H, W, 3) eval batch crosses host->device once; replication to
     (A*B, ...) happens inside the compiled program, so scoring A candidates
     costs the same transfer as scoring one.
+
+    ``score_head`` picks the logits that define a candidate's fitness:
+    ``cls`` (default), ``dst`` (distill head — what the reference uses when
+    the supernet carries a distill token, evo_search.py:280-282), or
+    ``joint`` (softmax sum of both, the reference's ``jnt_acc1``).
     """
+    if score_head not in ("cls", "dst", "joint"):
+        raise ValueError(f"unknown score head {score_head!r}")
+    if score_head in ("dst", "joint") and not getattr(model, "distill_token",
+                                                      False):
+        raise ValueError(f"score head {score_head!r} needs a distill-token "
+                         f"supernet")
 
     def step(params, batch_stats, images, labels, counts):
         variables = {"params": params}
@@ -58,8 +69,14 @@ def make_tiled_correct_step(model):
                                           for k, v in site.items()}
         masks = build_arch_masks(per_example, model.network_def, a * b)
         outputs = model.apply(variables, images_t, masks, deterministic=True)
-        cls_pred = outputs[0] if isinstance(outputs, tuple) else outputs
-        correct = (jnp.argmax(cls_pred, axis=-1) == labels_t).astype(jnp.float32)
+        if score_head == "cls":
+            pred = outputs[0] if isinstance(outputs, tuple) else outputs
+        elif score_head == "dst":
+            pred = outputs[1]
+        else:  # joint
+            pred = (jax.nn.softmax(outputs[0].astype(jnp.float32), axis=-1)
+                    + jax.nn.softmax(outputs[1].astype(jnp.float32), axis=-1))
+        correct = (jnp.argmax(pred, axis=-1) == labels_t).astype(jnp.float32)
         return correct.reshape(a, b).sum(axis=1)
 
     return jax.jit(step)
@@ -69,14 +86,20 @@ class BatchedSupernetEvaluator:
     """Score populations of network_defs on a fixed sub-val loader."""
 
     def __init__(self, model, params, batch_stats, schedules: SupernetSchedules,
-                 loader, arch_batch: int = 8):
+                 loader, arch_batch: int = 8, score_head: str = "auto"):
+        if score_head == "auto":
+            # reference evo_search.py:280-285: dst_acc1 when the supernet
+            # reports a distill head, acc1 otherwise
+            score_head = ("dst" if getattr(model, "distill_token", False)
+                          else "cls")
         self.model = model
         self.params = params
         self.batch_stats = batch_stats
         self.schedules = schedules
         self.loader = loader
         self.arch_batch = arch_batch
-        self._step = make_tiled_correct_step(model)
+        self.score_head = score_head
+        self._step = make_tiled_correct_step(model, score_head)
 
     def _score_chunk(self, sub_defs: Sequence) -> np.ndarray:
         a = len(sub_defs)
