@@ -293,6 +293,118 @@ def test_mixup_cutmix_lambda_consistency():
     np.testing.assert_allclose(np.asarray(targets.sum(-1)), 1.0, atol=1e-5)
 
 
+def _per_image_values(b=8, size=16):
+    """Batch where image i is the constant i -> mixes are readable."""
+    x = jnp.broadcast_to(jnp.arange(b, dtype=jnp.float32)[:, None, None, None],
+                         (b, size, size, 3))
+    y = jnp.arange(b) % 4
+    return x, y
+
+
+def test_mixup_partner_is_flipped_batch():
+    """timm Mixup mixes with x.flip(0): every pixel of mixed[i] is a convex
+    combination of x[i] and x[b-1-i]."""
+    x, y = _per_image_values()
+    b = x.shape[0]
+    for mode in ("batch", "elem", "pair"):
+        mixed, targets = mixup.mixup_cutmix(
+            jax.random.PRNGKey(3), x, y, num_classes=4, mode=mode)
+        m = np.asarray(mixed)
+        for i in range(b):
+            j = b - 1 - i
+            lo, hi = min(i, j), max(i, j)
+            assert m[i].min() >= lo - 1e-5 and m[i].max() <= hi + 1e-5, (mode, i)
+        np.testing.assert_allclose(np.asarray(targets.sum(-1)), 1.0, atol=1e-5)
+
+
+def test_mixup_elem_mode_varies_per_example():
+    """elem mode draws per-example lams; with constant-value images the
+    realized per-example mix fractions should differ across the batch."""
+    x, y = _per_image_values(b=16)
+    mixed, _ = mixup.mixup_cutmix(jax.random.PRNGKey(0), x, y, num_classes=4,
+                                  mode="elem", cutmix_alpha=0.0)  # pure mixup
+    m = np.asarray(mixed)
+    # recover lam_i from pixel value: m[i] = i*lam + (b-1-i)*(1-lam)
+    lams = []
+    b = x.shape[0]
+    for i in range(b):
+        j = b - 1 - i
+        if i == j:
+            continue
+        lams.append((m[i].mean() - j) / (i - j))
+    assert np.std(lams) > 1e-3  # not one shared lam
+    # pair mode: lam_i == lam_{b-1-i}
+    mixed_p, _ = mixup.mixup_cutmix(jax.random.PRNGKey(0), x, y, num_classes=4,
+                                    mode="pair", cutmix_alpha=0.0)
+    mp = np.asarray(mixed_p)
+    for i in range(b // 2):
+        j = b - 1 - i
+        lam_i = (mp[i].mean() - j) / (i - j)
+        lam_j = (mp[j].mean() - i) / (j - i)
+        np.testing.assert_allclose(lam_i, lam_j, atol=1e-5)
+
+
+def test_cutmix_minmax_box_bounds():
+    """cutmix_minmax=(lo,hi): box dims are uniform fractions in [lo,hi) and
+    the box lies fully inside the image (timm rand_bbox_minmax)."""
+    x, y = _per_image_values(b=8, size=32)
+    for trial in range(8):
+        mixed, targets = mixup.mixup_cutmix(
+            jax.random.PRNGKey(trial), x, y, num_classes=4,
+            mixup_alpha=0.0, cutmix_alpha=0.0, cutmix_minmax=(0.25, 0.75),
+            switch_prob=1.0)
+        m = np.asarray(mixed)
+        for i in range(8):
+            j = 8 - 1 - i
+            if i == j:
+                continue
+            patch = (m[i, :, :, 0] == j)
+            frac = patch.mean()
+            if frac == 0:
+                continue  # prob gate can skip — but gate is 1.0 here
+            ys, xs = np.where(patch)
+            bh = ys.max() - ys.min() + 1
+            bw = xs.max() - xs.min() + 1
+            assert 32 * 0.25 <= bh < 32 * 0.75 + 1
+            assert 32 * 0.25 <= bw < 32 * 0.75 + 1
+            assert bh * bw == patch.sum()  # contiguous box fully inside
+
+
+def test_mixup_mode_validation():
+    x, y = _per_image_values()
+    with pytest.raises(ValueError):
+        mixup.mixup_cutmix(jax.random.PRNGKey(0), x, y, num_classes=4,
+                           mode="banana")
+    with pytest.raises(ValueError):
+        mixup.mixup_cutmix(jax.random.PRNGKey(0), x[:7], y[:7], num_classes=4,
+                           mode="pair")
+
+
+def test_random_erasing_modes_and_count():
+    from vit_search_tpu.data.erasing import random_erasing as erase
+
+    rng = jax.random.PRNGKey(0)
+    x = jnp.full((32, 16, 16, 3), 7.0)
+    # const mode fills zeros
+    out = np.asarray(erase(rng, x, prob=1.0, mode="const"))
+    assert ((out == 0) | (out == 7)).all() and (out == 0).any()
+    # rand mode: one color per region, constant across the region's pixels
+    out = np.asarray(erase(rng, x, prob=1.0, mode="rand"))
+    for img in out:
+        vals = np.unique(img.reshape(-1, 3), axis=0)
+        assert len(vals) <= 2  # original color + at most one region color
+    # pixel mode: per-pixel noise -> many distinct values inside regions
+    out = np.asarray(erase(rng, x, prob=1.0, mode="pixel"))
+    assert len(np.unique(out)) > 32
+    # count > 1 can erase more area (multiple regions); just check it runs
+    # and produces >= as many disjoint regions on average
+    one = np.asarray(erase(rng, x, prob=1.0, mode="const", count=1))
+    many = np.asarray(erase(rng, x, prob=1.0, mode="const", count=4))
+    assert (many == 0).mean() >= (one == 0).mean() * 0.8
+    with pytest.raises(ValueError):
+        erase(rng, x, prob=0.5, mode="banana")
+
+
 def test_random_erasing_prob_bounds():
     rng = jax.random.PRNGKey(0)
     x = jnp.zeros((64, 16, 16, 3))

@@ -102,6 +102,7 @@ def get_args_parser() -> argparse.ArgumentParser:
     # Mixup
     parser.add_argument("--mixup", type=float, default=0.8)
     parser.add_argument("--cutmix", type=float, default=1.0)
+    parser.add_argument("--cutmix-minmax", type=float, nargs="+", default=None)
     parser.add_argument("--mixup-prob", type=float, default=1.0)
     parser.add_argument("--mixup-switch-prob", type=float, default=0.5)
     parser.add_argument("--mixup-mode", type=str, default="batch")
@@ -279,17 +280,22 @@ def main(args) -> dict:
     state = train.TrainState.create(params, tx, batch_stats,
                                     use_ema=args.model_ema)
 
+    mixup_active = (args.mixup > 0 or args.cutmix > 0
+                    or args.cutmix_minmax is not None)  # reference main.py:309
     mixup_mode = ("token" if args.use_patch_mixup
-                  else "mixup" if (args.mixup > 0 or args.cutmix > 0) else "none")
+                  else "mixup" if mixup_active else "none")
     tcfg = train.TrainConfig(
         num_classes=num_classes, smoothing=args.smoothing,
         mixup_mode=mixup_mode, mixup_alpha=args.mixup,
         cutmix_alpha=args.cutmix, mixup_switch_prob=args.mixup_switch_prob,
-        mixup_prob=args.mixup_prob,
+        mixup_prob=args.mixup_prob, mixup_elem_mode=args.mixup_mode,
+        cutmix_minmax=(tuple(args.cutmix_minmax)
+                       if args.cutmix_minmax else None),
         patch_len=args.mixup_patch_len,
         distill_alpha=args.distill_alpha, hard_distill=args.hard_distill,
         ema_decay=args.model_ema_decay if args.model_ema else None,
-        erasing_prob=args.reprob)
+        erasing_prob=args.reprob, erasing_mode=args.remode,
+        erasing_count=args.recount)
     if args.use_patch_mixup and args.input_size != 56 * args.mixup_patch_len:
         raise ValueError("--input-size must equal 56 * --mixup-patch-len "
                          "(reference README constraint)")

@@ -56,6 +56,8 @@ class TrainConfig:
     cutmix_alpha: float = 1.0
     mixup_switch_prob: float = 0.5
     mixup_prob: float = 1.0
+    mixup_elem_mode: str = "batch"  # timm Mixup mode: batch | elem | pair
+    cutmix_minmax: Optional[tuple] = None
     patch_len: int = 4              # token-mixup grid (56px patches: img/56)
     # knowledge distillation
     distill_alpha: float = 0.5
@@ -67,6 +69,8 @@ class TrainConfig:
     mean: tuple = (0.485, 0.456, 0.406)
     std: tuple = (0.229, 0.224, 0.225)
     erasing_prob: float = 0.0
+    erasing_mode: str = "pixel"     # --remode: pixel | rand | const
+    erasing_count: int = 1          # --recount (timm max_count)
 
 
 def make_train_step(model: Any, tx: optax.GradientTransformation,
@@ -83,7 +87,6 @@ def make_train_step(model: Any, tx: optax.GradientTransformation,
     With ``counts_unpack`` (``SupernetSchedules.unpack``), ``counts`` is a
     single packed int32 vector — one host->device transfer per step.
     """
-    has_bn = hasattr(model, "network_def") and model.network_def[0][0] != 0
     use_token_mixup = config.mixup_mode == "token"
     use_mixup = config.mixup_mode == "mixup"
 
@@ -93,7 +96,9 @@ def make_train_step(model: Any, tx: optax.GradientTransformation,
         k_mix, k_drop, k_path, k_erase = jax.random.split(step_rng, 4)
 
         images = _normalize(images, config)
-        images = random_erasing(k_erase, images, config.erasing_prob)
+        images = random_erasing(k_erase, images, config.erasing_prob,
+                                mode=config.erasing_mode,
+                                count=config.erasing_count)
 
         batch = images.shape[0]
         if counts is not None and counts_unpack is not None:
@@ -110,7 +115,8 @@ def make_train_step(model: Any, tx: optax.GradientTransformation,
                 k_mix, images, labels, config.num_classes,
                 config.mixup_alpha, config.cutmix_alpha,
                 config.mixup_switch_prob, config.smoothing,
-                config.mixup_prob)
+                config.mixup_prob, mode=config.mixup_elem_mode,
+                cutmix_minmax=config.cutmix_minmax)
         else:
             images_m, targets = images, None
 
