@@ -383,8 +383,12 @@ def main(args) -> dict:
         metric_logger.add_meter("lr", utils.SmoothedValue(
             window_size=1, fmt="{value:.6f}"))
         rng = jax.random.fold_in(epoch_rng, epoch)
-        # single/hybrid shared-arch sampling is host-independent: seed by
-        # (epoch, step) like the reference RNG bracket (engine.py:119-132)
+        # arch sampling is host-independent (seeded by (seed, epoch) like
+        # the reference RNG bracket, engine.py:119-132) but covers the
+        # GLOBAL batch: every host computes the identical per-global-example
+        # assignment, and its own shard picks out distinct architectures —
+        # a pod step trains global_batch/example_per_arch distinct archs,
+        # matching the reference's free per-rank RNG in multi mode
         host_rng = np.random.default_rng((args.seed, epoch))
 
         for it, (images, labels) in enumerate(metric_logger.log_every(
@@ -395,7 +399,8 @@ def main(args) -> dict:
             global_step = epoch * steps_per_epoch + it
             if args.profile_dir and epoch == start_epoch and it == 1:
                 jax.profiler.start_trace(args.profile_dir)
-            counts = (schedules.sample_packed(host_rng, images.shape[0])
+            counts = (schedules.sample_packed(host_rng,
+                                              images.shape[0] * n_proc)
                       if schedules is not None else None)
             images, labels = parallel.shard_batch(mesh, (
                 jnp.asarray(images), jnp.asarray(labels)))

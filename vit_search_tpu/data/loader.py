@@ -53,7 +53,7 @@ class DataLoader:
         out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch_batches)
         job_q: "queue.Queue" = queue.Queue()
         results = {}
-        results_lock = threading.Lock()
+        results_ready = threading.Condition()
 
         for i, b in enumerate(batches):
             job_q.put((i, b))
@@ -72,8 +72,10 @@ class DataLoader:
                     img, label = self.dataset.load(idx, rng)
                     images.append(img)
                     labels.append(label)
-                with results_lock:
-                    results[bi] = (np.stack(images), np.asarray(labels, np.int32))
+                item = (np.stack(images), np.asarray(labels, np.int32))
+                with results_ready:
+                    results[bi] = item
+                    results_ready.notify_all()
 
         threads = [threading.Thread(target=worker, args=(w,), daemon=True)
                    for w in range(self.num_workers)]
@@ -84,14 +86,16 @@ class DataLoader:
             next_bi = 0
             try:
                 while next_bi < len(batches) and not stop.is_set():
-                    with results_lock:
-                        ready = next_bi in results
-                    if ready:
-                        with results_lock:
-                            out_q.put(results.pop(next_bi))
-                        next_bi += 1
-                    else:
-                        stop.wait(0.001)
+                    with results_ready:
+                        while next_bi not in results and not stop.is_set():
+                            results_ready.wait(timeout=0.1)
+                        item = results.pop(next_bi, None)
+                    if item is None:
+                        return  # stopped before the batch arrived
+                    # blocking put happens OUTSIDE the lock so workers can
+                    # keep posting results while the consumer is slow
+                    out_q.put(item)
+                    next_bi += 1
             finally:
                 out_q.put(None)
 

@@ -39,13 +39,34 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, tree: Any) -> Any:
-    """Place host arrays with the batch axis sharded over the mesh."""
+    """Place host arrays with the batch axis sharded over the mesh.
+
+    Single-host: plain ``device_put``.  Multi-host: each process holds only
+    its own shard of the global batch (from the rank-sharded samplers), so
+    global arrays are assembled with
+    ``jax.make_array_from_process_local_data`` — ``device_put`` cannot
+    build a global array from per-host shards.
+    """
     sharding = batch_sharding(mesh)
+    if jax.process_count() > 1:
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(
+                sharding, np.asarray(x)), tree)
     return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
 
 
 def replicate(mesh: Mesh, tree: Any) -> Any:
+    """Replicate a (host-identical) pytree across the mesh.
+
+    On pods every process carries the same full value (params/EMA state),
+    which is exactly the fully-replicated case
+    ``make_array_from_process_local_data`` handles.
+    """
     sharding = replicated(mesh)
+    if jax.process_count() > 1:
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(
+                sharding, np.asarray(x)), tree)
     return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
 
 
