@@ -173,3 +173,68 @@ def test_searched_net_training_with_inherited_weights(supernet_run, tmp_path):
         "--output_dir", out])
     result = train_cli.main(args)
     assert np.isfinite(result["train_loss"])
+
+
+def test_kd_training_with_teacher_from_ckpt_args(supernet_run, tmp_path):
+    """End-to-end KD through the CLI: the teacher is rebuilt from its
+    checkpoint's embedded args (reference utils.py:218-238) — the
+    --teacher-model flag deliberately names a different (wrong) model and
+    must be overridden by the ckpt's own 'model' entry."""
+    from vit_search_tpu.cli import train as train_cli
+
+    # 1) train a tiny dense "teacher" and checkpoint it (its metadata
+    #    embeds vars(args) including model='tiny_test_patch7_28')
+    t_out = str(tmp_path / "teacher")
+    t_args = _train_args([
+        "--model", "tiny_test_patch7_28", "--epochs", "1",
+        "--no-model-ema", "--output_dir", t_out])
+    train_cli.main(t_args)
+    teacher_ckpt = os.path.join(t_out, "checkpoints", "checkpoint")
+
+    # 2) distill a student from it; wrong --teacher-model on purpose
+    s_out = str(tmp_path / "student")
+    s_args = _train_args([
+        "--model", "tiny_test_patch7_28", "--epochs", "1",
+        "--no-model-ema", "--output_dir", s_out,
+        "--teacher-ckpt-path", teacher_ckpt,
+        "--teacher-model", "regnety_160_upsample",
+        "--distill-alpha", "0.5"])
+    result = train_cli.main(s_args)
+    assert np.isfinite(result["train_loss"])
+    assert "test_acc1" in result
+
+
+def test_build_teacher_unit(tmp_path):
+    """build_teacher prefers ckpt-embedded args over the CLI default and
+    falls back to the flag when no args are embedded."""
+    import jax
+    import jax.numpy as jnp
+
+    from vit_search_tpu.cli.train import build_teacher
+    from vit_search_tpu.train import CheckpointManager, TrainState
+    from vit_search_tpu.train.optim import OptimConfig, make_optimizer
+    from vit_search_tpu.utils import file_logger
+
+    model = registry.create_model("tiny_test_patch7_28", num_classes=4)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 28, 28, 3)))
+    tx = make_optimizer(OptimConfig(), variables["params"])
+    state = TrainState.create(variables["params"], tx)
+    logger = file_logger(None, is_master=True)
+
+    # with embedded args: model name + nb_classes come from the ckpt
+    mgr = CheckpointManager(str(tmp_path / "with_args"), snapshot_every=0)
+    mgr.save_epoch(state, epoch=0, metadata={
+        "args": {"model": "tiny_test_patch7_28", "nb_classes": 4}})
+    apply_fn = build_teacher(str(tmp_path / "with_args" / "checkpoint"),
+                             "regnety_160_upsample", 4, jnp.float32, logger)
+    out = apply_fn(jnp.zeros((2, 28, 28, 3)))
+    assert out.shape == (2, 4)
+
+    # without embedded args: the CLI-provided name is used
+    mgr2 = CheckpointManager(str(tmp_path / "plain"), snapshot_every=0)
+    mgr2.save_epoch(state, epoch=0, metadata={})
+    apply_fn2 = build_teacher(str(tmp_path / "plain" / "checkpoint"),
+                              "tiny_test_patch7_28", 4, jnp.float32, logger)
+    out2 = apply_fn2(jnp.zeros((2, 28, 28, 3)))
+    assert out2.shape == (2, 4)

@@ -248,3 +248,54 @@ def test_batched_eval_score_heads():
     with pytest.raises(ValueError):
         BatchedSupernetEvaluator(plain, pvars["params"], None, schedules,
                                  loader, arch_batch=2, score_head="dst")
+
+
+def test_batched_eval_sharded_over_mesh_matches_single_device():
+    """Candidate scoring with sub-val batches sharded over the 8-device CPU
+    mesh returns the same scores as unsharded scoring (reference
+    counterpart: DDP candidate eval, evo_search.py:269-287)."""
+    import jax
+    import jax.numpy as jnp
+
+    from vit_search_tpu.models import SupernetSchedules, VisionTransformerSR
+    from vit_search_tpu.parallel import create_mesh
+    from vit_search_tpu.search.batched_eval import BatchedSupernetEvaluator
+
+    super_def = ((0, 16),
+                 (1, (16, 4, 4), (16, 32), 1),
+                 (3, 16, 32),
+                 (1, (32, 4, 8), (32, 64), 1),
+                 (2, 32, 10))
+    space = [np.array([16, 8]),
+             {"attn": np.array([16, 8]), "mlp": np.array([32, 16]),
+              "layer": None},
+             np.array([32, 16]),
+             {"attn": np.array([32, 16]), "mlp": np.array([64, 32]),
+              "layer": None},
+             None]
+    sub_def = ((0, 8),
+               (1, (8, 2, 4), (8, 16), 1),
+               (3, 8, 16),
+               (1, (16, 2, 8), (16, 32), 1),
+               (2, 16, 10))
+
+    model = VisionTransformerSR(network_def=super_def, img_size=28,
+                                patch_size=7, num_classes=10)
+    rng = np.random.default_rng(0)
+    batches = [(rng.normal(size=(8, 28, 28, 3)).astype(np.float32),
+                rng.integers(0, 10, size=(8,)).astype(np.int32))
+               for _ in range(3)]
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.asarray(batches[0][0]))
+    params = variables["params"]
+    schedules = SupernetSchedules(super_def, space, example_per_arch=1,
+                                  num_warmup_epochs=0, arch_mode="multi")
+    defs = [super_def, sub_def]
+
+    plain = BatchedSupernetEvaluator(model, params, None, schedules, batches,
+                                     arch_batch=2)
+    mesh = create_mesh()
+    sharded = BatchedSupernetEvaluator(model, params, None, schedules,
+                                       batches, arch_batch=2, mesh=mesh)
+    np.testing.assert_allclose(sharded.score(defs), plain.score(defs),
+                               rtol=1e-5, atol=1e-4)

@@ -79,24 +79,29 @@ def main(args) -> dict:
     import jax.numpy as jnp
     import numpy as np
 
-    from .. import arch, data, models, train, utils
+    from .. import arch, data, models, parallel, train, utils
     from ..models.supernet import SupernetSchedules
     from ..search import PopulationEvolver
     from ..search.batched_eval import BatchedSupernetEvaluator
 
-    logger = utils.file_logger(args.output_dir or None, is_master=True)
+    mesh = parallel.create_mesh()
+    is_main = parallel.is_main_process()
+    logger = utils.file_logger(args.output_dir or None, is_master=is_main)
     logger.info(str(args))
     np.random.seed(args.seed)
 
     network_def = arch.parse_network_def(args.network_def)
     space = arch.get_space(args.search_space)
 
-    # sub-val loader (reference uses the held-out 25 img/class split)
+    # sub-val loader (reference uses the held-out 25 img/class split);
+    # sharded per host like the reference's DDP eval, batches sharded over
+    # the device mesh inside the evaluator
     eval_transform = data.EvalTransform(size=args.input_size)
     dataset_val = data.build_dataset(False, data_set=args.data_set,
                                      data_path=args.data_path,
                                      transform=eval_transform, use_holdout=True)
-    sampler = data.ShardedSampler(len(dataset_val), 1, 0, shuffle=False)
+    sampler = data.ShardedSampler(len(dataset_val), parallel.process_count(),
+                                  jax.process_index(), shuffle=False)
     loader = data.DataLoader(dataset_val, sampler, args.val_bs,
                              num_workers=args.num_workers, drop_last=True)
     if args.max_eval_batches:
@@ -124,7 +129,7 @@ def main(args) -> dict:
                                   num_warmup_epochs=0, arch_mode="multi")
     evaluator = BatchedSupernetEvaluator(model, params, batch_stats, schedules,
                                          loader, arch_batch=args.arch_batch,
-                                         score_head=args.score_head)
+                                         score_head=args.score_head, mesh=mesh)
     logger.info(f"Scoring candidates by '{evaluator.score_head}' accuracy")
 
     patch_size = args.patch_size or (14 if "patch14" in args.model else 16)
@@ -134,7 +139,7 @@ def main(args) -> dict:
     evolver = PopulationEvolver(network_def, space, args.constraint_value,
                                 estimator, seed=args.seed)
 
-    if args.output_dir:
+    if args.output_dir and is_main:
         os.makedirs(args.output_dir, exist_ok=True)
 
     best_per_iter = []
@@ -153,7 +158,7 @@ def main(args) -> dict:
         for ind, score in zip(evolver.popu, scores):
             ind.score = float(score)
 
-        if args.output_dir:
+        if args.output_dir and is_main:
             with open(os.path.join(args.output_dir,
                                    f"iter@{search_iter}_popu.pickle"), "wb") as f:
                 pickle.dump([(ind.network_def, ind.score)
@@ -169,7 +174,7 @@ def main(args) -> dict:
         best_per_iter.append(best.score)
         logger.info(f"Iter {search_iter}: best acc1 = {best.score:.3f}, "
                     f"time = {time.time() - t_iter:.1f}s")
-        if args.output_dir:
+        if args.output_dir and is_main:
             with open(os.path.join(args.output_dir, "summary.txt"), "a") as f:
                 f.write(f"iter {search_iter}: score={best.score:.4f} "
                         f"mac={estimator(best.network_def)} "

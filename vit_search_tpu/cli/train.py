@@ -157,6 +157,36 @@ def get_args_parser() -> argparse.ArgumentParser:
     return parser
 
 
+def build_teacher(ckpt_path: str, default_model: str, num_classes: int,
+                  dtype, logger):
+    """Load the KD teacher, reconstructing it from the checkpoint's embedded
+    argparse namespace when present (reference utils.py:218-238
+    ``_load_teacher_model``: the ckpt's ``args.model``/``args.nb_classes``
+    define the teacher; the CLI flag is only a fallback).  Drop rates are
+    irrelevant here — the teacher always runs deterministically.
+    """
+    from .. import models, train
+
+    t_raw = train.restore_raw(ckpt_path)
+    t_args = (t_raw.get("metadata") or {}).get("args") or {}
+    model_name = t_args.get("model", default_model)
+    t_classes = t_args.get("nb_classes", t_args.get("num_classes",
+                                                    num_classes))
+    teacher = models.create_model(model_name, num_classes=int(t_classes),
+                                  dtype=dtype)
+    t_vars = {"params": t_raw["params"]}
+    if t_raw.get("batch_stats"):
+        t_vars["batch_stats"] = t_raw["batch_stats"]
+    logger.info(f"teacher: {model_name} (num_classes={t_classes}) "
+                f"from {ckpt_path}"
+                + (" [reconstructed from ckpt args]" if t_args else ""))
+
+    def teacher_apply(images):
+        return teacher.apply(t_vars, images, deterministic=True)
+
+    return teacher_apply
+
+
 def main(args) -> dict:
     import jax
     import jax.numpy as jnp
@@ -251,15 +281,9 @@ def main(args) -> dict:
     # --- teacher ----------------------------------------------------------
     teacher_apply = None
     if args.teacher_ckpt_path:
-        teacher = models.create_model(args.teacher_model, num_classes=num_classes,
-                                      dtype=dtype)
-        t_raw = train.restore_raw(args.teacher_ckpt_path)
-        t_vars = {"params": t_raw["params"]}
-        if t_raw.get("batch_stats"):
-            t_vars["batch_stats"] = t_raw["batch_stats"]
-
-        def teacher_apply(images):
-            return teacher.apply(t_vars, images, deterministic=True)
+        teacher_apply = build_teacher(args.teacher_ckpt_path,
+                                      args.teacher_model, num_classes, dtype,
+                                      logger)
 
     # --- optimizer / steps --------------------------------------------------
     global_batch = args.batch_size * n_proc

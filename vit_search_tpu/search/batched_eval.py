@@ -20,6 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models.supernet import SupernetSchedules, build_arch_masks
+from ..parallel import shard_batch
 
 
 def _tile_counts(counts: Dict, batch: int) -> Dict:
@@ -86,19 +87,34 @@ class BatchedSupernetEvaluator:
     """Score populations of network_defs on a fixed sub-val loader."""
 
     def __init__(self, model, params, batch_stats, schedules: SupernetSchedules,
-                 loader, arch_batch: int = 8, score_head: str = "auto"):
+                 loader, arch_batch: int = 8, score_head: str = "auto",
+                 mesh=None):
+        """With ``mesh``, every sub-val batch is sharded over the data axis
+        so candidate scoring uses the whole mesh — the counterpart of the
+        reference's DDP candidate evaluation across 8 GPUs
+        (evo_search.py:269-287).  Params are replicated on the mesh once.
+        On pods, each host's loader carries its rank's shard and the
+        per-candidate correct counts come back as GSPMD-global sums.
+        """
         if score_head == "auto":
             # reference evo_search.py:280-285: dst_acc1 when the supernet
             # reports a distill head, acc1 otherwise
             score_head = ("dst" if getattr(model, "distill_token", False)
                           else "cls")
         self.model = model
-        self.params = params
         self.batch_stats = batch_stats
         self.schedules = schedules
         self.loader = loader
         self.arch_batch = arch_batch
         self.score_head = score_head
+        self.mesh = mesh
+        if mesh is not None:
+            from ..parallel import replicate
+
+            params = replicate(mesh, params)
+            if batch_stats:
+                self.batch_stats = replicate(mesh, batch_stats)
+        self.params = params
         self._step = make_tiled_correct_step(model, score_head)
 
     def _score_chunk(self, sub_defs: Sequence) -> np.ndarray:
@@ -112,9 +128,13 @@ class BatchedSupernetEvaluator:
         total = 0
         for images, labels in self.loader:
             b = images.shape[0]
+            if self.mesh is not None:
+                images, labels = shard_batch(self.mesh, (images, labels))
+                b *= jax.process_count()  # loader shard -> global batch rows
+            else:
+                images, labels = jnp.asarray(images), jnp.asarray(labels)
             per_candidate = self._step(self.params, self.batch_stats,
-                                       jnp.asarray(images), jnp.asarray(labels),
-                                       counts)
+                                       images, labels, counts)
             correct += np.asarray(per_candidate, dtype=np.float64)
             total += b
         return correct / max(total, 1) * 100.0
