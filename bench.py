@@ -27,6 +27,7 @@ BATCH = int(os.environ.get("BENCH_BATCH", "512"))
 EXAMPLE_PER_ARCH = int(os.environ.get("BENCH_EPA", "32"))  # 16 archs/step, like the reference global batch
 STEPS = int(os.environ.get("BENCH_STEPS", "20"))
 WARMUP = int(os.environ.get("BENCH_WARMUP", "3"))
+SYNC_EVERY = max(1, int(os.environ.get("BENCH_SYNC_EVERY", "10")))
 
 
 def main():
@@ -76,11 +77,25 @@ def main():
         state, metrics = one_step(state)
         float(metrics["loss"])
 
+    profile_dir = os.environ.get("BENCH_PROFILE")
+    if profile_dir:
+        jax.profiler.start_trace(profile_dir)
+
+    # Forcing a loss to host every SYNC_EVERY steps stays honest: step k+1
+    # consumes step k's state, so materializing the FINAL loss waits for the
+    # whole chain.  Syncing every step adds one tunnel round-trip per step
+    # on remote backends; small intervals keep the dispatch queue shallow
+    # (deep queues degrade pathologically over the tunnel).
     t0 = time.perf_counter()
-    for _ in range(STEPS):
+    for i in range(STEPS):
         state, metrics = one_step(state)
-        float(metrics["loss"])
+        if (i + 1) % SYNC_EVERY == 0 or i + 1 == STEPS:
+            loss = float(metrics["loss"])
+    assert np.isfinite(loss)
     elapsed = time.perf_counter() - t0
+
+    if profile_dir:
+        jax.profiler.stop_trace()
 
     n_chips = jax.device_count()
     imgs_per_sec_per_chip = BATCH * STEPS / elapsed / n_chips

@@ -133,3 +133,52 @@ def test_fused_attention_odd_seq_lengths():
         want = _attn_ref(q, k, v, 0.25)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=1e-4, atol=1e-5, err_msg=str(n))
+
+
+def test_fused_attention_qkv_matches_packed_and_reference():
+    """The packed-projection entry (one (B,N,3W) input, in-kernel q/k/v
+    slicing) matches the reference einsum in forward and gradients."""
+    from vit_search_tpu.ops.pallas.attention import fused_attention_qkv
+
+    B, N, H, D = 2, 17, 2, 16
+    q, k, v = _qkv(B=B, N=N, H=H, D=D)
+    scale = D ** -0.5
+    W = H * D
+    qkv = jnp.concatenate([q.reshape(B, N, W), k.reshape(B, N, W),
+                           v.reshape(B, N, W)], axis=-1)
+
+    got = fused_attention_qkv(qkv, scale, H)
+    want = _attn_ref(q, k, v, scale).reshape(B, N, W)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-5)
+
+    def loss_fused(x):
+        return (fused_attention_qkv(x, scale, H) ** 2).sum()
+
+    def loss_ref(x):
+        qq = x[:, :, :W].reshape(B, N, H, D)
+        kk = x[:, :, W:2 * W].reshape(B, N, H, D)
+        vv = x[:, :, 2 * W:].reshape(B, N, H, D)
+        return (_attn_ref(qq, kk, vv, scale) ** 2).sum()
+
+    g_got = jax.grad(loss_fused)(qkv)
+    g_want = jax.grad(loss_ref)(qkv)
+    np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_want),
+                               rtol=1e-3, atol=1e-4)
+
+
+def test_fused_attention_qkv_bf16():
+    from vit_search_tpu.ops.pallas.attention import fused_attention_qkv
+
+    B, N, H, D = 2, 16, 2, 16
+    q, k, v = _qkv(B=B, N=N, H=H, D=D)
+    W = H * D
+    qkv = jnp.concatenate([q.reshape(B, N, W), k.reshape(B, N, W),
+                           v.reshape(B, N, W)], axis=-1).astype(jnp.bfloat16)
+    got = fused_attention_qkv(qkv, 0.25, H)
+    assert got.dtype == jnp.bfloat16
+    want = _attn_ref(q.astype(jnp.bfloat16), k.astype(jnp.bfloat16),
+                     v.astype(jnp.bfloat16), 0.25).reshape(B, N, W)
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(want, np.float32),
+                               rtol=5e-2, atol=5e-2)

@@ -310,3 +310,22 @@ def test_remat_supernet_masked_step():
     vec = jnp.asarray(sched.sample_packed(np.random.default_rng(0), 4))
     state, metrics = step(state, x, y, vec, jax.random.PRNGKey(1))
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_prefetch_to_mesh_order_and_sharding():
+    from vit_search_tpu.parallel import batch_sharding, prefetch_to_mesh
+
+    mesh = create_mesh()
+    batches = [(np.full((8, 4), i, np.float32), np.arange(8) + i)
+               for i in range(5)]
+    out = list(prefetch_to_mesh(batches, mesh, depth=2))
+    assert len(out) == 5
+    for i, (images, labels) in enumerate(out):
+        assert images.sharding.is_equivalent_to(batch_sharding(mesh), 2)
+        np.testing.assert_array_equal(np.asarray(images), batches[i][0])
+        np.testing.assert_array_equal(np.asarray(labels), batches[i][1])
+    # depth larger than the stream
+    out = list(prefetch_to_mesh(batches[:2], mesh, depth=8))
+    assert len(out) == 2
+    # empty stream
+    assert list(prefetch_to_mesh([], mesh)) == []

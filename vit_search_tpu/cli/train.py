@@ -358,9 +358,7 @@ def main(args) -> dict:
     def run_eval(params_tree):
         logger_eval = utils.MetricLogger(logger=logger)
         totals = None
-        for images, labels in loader_val:
-            images, labels = parallel.shard_batch(mesh, (
-                jnp.asarray(images), jnp.asarray(labels)))
+        for images, labels in parallel.prefetch_to_mesh(loader_val, mesh):
             m = eval_step(params_tree, state.batch_stats, images, labels, eval_counts)
             m = {k: float(v) for k, v in m.items()}
             totals = m if totals is None else {k: totals[k] + m[k] for k in m}
@@ -415,19 +413,20 @@ def main(args) -> dict:
         # matching the reference's free per-rank RNG in multi mode
         host_rng = np.random.default_rng((args.seed, epoch))
 
+        # device transfers run `depth` batches ahead of the step loop
+        # (timm PrefetchLoader counterpart; see parallel.prefetch_to_mesh)
+        device_batches = parallel.prefetch_to_mesh(loader_train, mesh)
         for it, (images, labels) in enumerate(metric_logger.log_every(
-                loader_train, args.print_freq, header=f"Epoch: [{epoch}]",
+                device_batches, args.print_freq, header=f"Epoch: [{epoch}]",
                 total=steps_per_epoch)):
             if it >= steps_per_epoch:
                 break
             global_step = epoch * steps_per_epoch + it
             if args.profile_dir and epoch == start_epoch and it == 1:
                 jax.profiler.start_trace(args.profile_dir)
-            counts = (schedules.sample_packed(host_rng,
-                                              images.shape[0] * n_proc)
+            # images is the GLOBAL (mesh-sharded) batch here
+            counts = (schedules.sample_packed(host_rng, images.shape[0])
                       if schedules is not None else None)
-            images, labels = parallel.shard_batch(mesh, (
-                jnp.asarray(images), jnp.asarray(labels)))
             state, metrics = train_step(state, images, labels, counts, rng)
             loss = float(metrics["loss"])
             if args.profile_dir and epoch == start_epoch and it == args.profile_steps:

@@ -124,15 +124,13 @@ class Attention(nn.Module):
 
         use_fused = _USE_PALLAS_ATTN
         if use_fused:
-            from ..ops.pallas.attention import fused_attention_packed, supported
+            from ..ops.pallas.attention import fused_attention_qkv, supported
 
             use_fused = supported(n_seq, self.head_dim, self.attn_dropout_rate)
         if use_fused:
-            # packed layout straight from the projection: no head transposes
-            q = qkv[:, :, :width]
-            k = qkv[:, :, width:2 * width]
-            v = qkv[:, :, 2 * width:]
-            out = fused_attention_packed(q, k, v, scale, self.num_heads)
+            # packed layout straight from the projection: q/k/v slicing
+            # happens inside the kernel on the VMEM block (no HBM copies)
+            out = fused_attention_qkv(qkv, scale, self.num_heads)
         else:
             qkv = qkv.reshape(batch, n_seq, 3, self.num_heads, self.head_dim)
             q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]

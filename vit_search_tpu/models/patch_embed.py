@@ -55,8 +55,12 @@ class ConvBnAct(nn.Module):
     def __call__(self, x: Array, *, deterministic: bool = True) -> Array:
         x = nn.Conv(self.features, kernel_size=(3, 3), strides=(self.strides,) * 2,
                     padding=1, use_bias=False, dtype=self.dtype, name="conv")(x)
+        # BN compute follows the model dtype: at 112px the stem activations
+        # dominate HBM traffic and an f32 BN materializes f32 copies of them
+        # (2x bytes).  Stats/params stay f32 (param_dtype default; TPU bf16
+        # reductions accumulate in f32), matching torch-AMP semantics.
         x = nn.BatchNorm(use_running_average=deterministic, momentum=0.9,
-                         epsilon=1e-5, dtype=jnp.float32, name="bn")(x)
+                         epsilon=1e-5, dtype=self.dtype, name="bn")(x)
         return nn.relu(x)
 
 

@@ -2,8 +2,8 @@
 
 from . import mesh
 from .mesh import (DATA_AXIS, batch_sharding, create_mesh, init_distributed,
-                   is_main_process, process_count, replicate, replicated,
-                   shard_batch)
+                   is_main_process, prefetch_to_mesh, process_count,
+                   replicate, replicated, shard_batch)
 
 __all__ = [
     "DATA_AXIS",
@@ -12,6 +12,7 @@ __all__ = [
     "init_distributed",
     "is_main_process",
     "mesh",
+    "prefetch_to_mesh",
     "process_count",
     "replicate",
     "replicated",

@@ -70,6 +70,35 @@ def replicate(mesh: Mesh, tree: Any) -> Any:
     return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
 
 
+def prefetch_to_mesh(iterator, mesh: Mesh, depth: int = 2):
+    """Yield device-resident batch-sharded pytrees, staying ``depth`` ahead.
+
+    ``device_put`` is asynchronous, so enqueueing the next batches' host->
+    device transfers before the current step is consumed overlaps input
+    transfer with compute — the TPU equivalent of the reference's
+    ``timm.data.PrefetchLoader`` CUDA-stream prefetch (datasets.py:144-184).
+    """
+    import collections
+
+    buf = collections.deque()
+    it = iter(iterator)
+
+    def enqueue():
+        try:
+            buf.append(shard_batch(mesh, next(it)))
+        except StopIteration:
+            return False
+        return True
+
+    for _ in range(max(1, depth)):
+        if not enqueue():
+            break
+    while buf:
+        out = buf.popleft()
+        enqueue()
+        yield out
+
+
 def init_distributed(coordinator_address: Optional[str] = None,
                      num_processes: Optional[int] = None,
                      process_id: Optional[int] = None) -> None:

@@ -1,0 +1,182 @@
+"""Reduced-scale end-to-end accuracy study (SURVEY §0 workloads).
+
+Runs the real pipeline — supernet training -> evolutionary search ->
+winner retrain — through the actual CLIs on the procedural ImageFolder
+dataset (make_synthfolder), then retrains a random same-MAC candidate with
+the identical recipe as the control.  Produces ``RESULTS.md``-ready JSON:
+per-epoch curves for every stage plus the searched-vs-random comparison.
+
+This validates end-to-end learning (accuracy goes up under the full
+augmentation/mixup/LR recipe) and the NAS contract (the searched candidate
+outperforms a random candidate at the same MAC budget) without ImageNet on
+disk (zero-egress environment).
+
+Usage:
+  python -m vit_search_tpu.tools.accuracy_study --root /tmp/vst_study \
+      [--classes 100] [--supernet-epochs 12] [--retrain-epochs 15] ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+def sh(cmd, log_path=None):
+    print(f"+ {' '.join(cmd)}", flush=True)
+    t0 = time.time()
+    with open(log_path, "ab") if log_path else open(os.devnull, "wb") as sink:
+        proc = subprocess.Popen(cmd, stdout=subprocess.PIPE,
+                                stderr=subprocess.STDOUT)
+        for line in proc.stdout:
+            sink.write(line)
+            sink.flush()
+            sys.stdout.buffer.write(line)
+            sys.stdout.flush()
+        proc.wait()
+    if proc.returncode != 0:
+        raise RuntimeError(f"command failed ({proc.returncode}): {cmd}")
+    print(f"  [{time.time() - t0:.0f}s]", flush=True)
+
+
+def read_curve(output_dir):
+    path = os.path.join(output_dir, "log.txt")
+    if not os.path.exists(path):
+        return []
+    with open(path) as f:
+        return [json.loads(line) for line in f]
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--root", default="/tmp/vst_study")
+    p.add_argument("--data", default=None, help="dataset dir (default root/data)")
+    p.add_argument("--classes", type=int, default=100)
+    p.add_argument("--train-per-class", type=int, default=200)
+    p.add_argument("--val-per-class", type=int, default=50)
+    p.add_argument("--holdout-per-class", type=int, default=25)
+    p.add_argument("--img-size", type=int, default=176)
+    p.add_argument("--batch-size", type=int, default=256)
+    p.add_argument("--supernet-epochs", type=int, default=12)
+    p.add_argument("--mask-warmup-epochs", type=int, default=3)
+    p.add_argument("--retrain-epochs", type=int, default=15)
+    p.add_argument("--search-iters", type=int, default=5)
+    p.add_argument("--popu", type=int, default=100)
+    p.add_argument("--constraint", type=float, default=1.7944e9,
+                   help="MAC budget (published tiny: 1.7944G)")
+    p.add_argument("--example-per-arch", type=int, default=32)
+    p.add_argument("--num-workers", type=int, default=16)
+    p.add_argument("--skip-generate", action="store_true")
+    args = p.parse_args()
+
+    root = args.root
+    data = args.data or os.path.join(root, "data")
+    os.makedirs(root, exist_ok=True)
+    log = os.path.join(root, "study.log")
+
+    supernet_def = open(os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "..", "..", "scripts", "vit-sr-nas", "super_net", "tiny.sh")
+    ).read().split("--network-def")[1].split("'")[1]
+    # patch the head class count to the study's
+    supernet_def = supernet_def.replace("(2, 1024, 1000)",
+                                        f"(2, 1024, {args.classes})")
+
+    # 1) dataset + pinned holdout split
+    if not args.skip_generate:
+        sh([sys.executable, "-m", "vit_search_tpu.tools.make_synthfolder",
+            data, "--classes", str(args.classes),
+            "--train", str(args.train_per_class),
+            "--val", str(args.val_per_class),
+            "--size", str(args.img_size)], log)
+        sh([sys.executable, "-m", "vit_search_tpu.data.subset", data,
+            "--per-class", str(args.holdout_per_class)], log)
+
+    common = ["--data-path", data, "--data-set", "IMNET",
+              "--input-size", "224", "--num_workers", str(args.num_workers),
+              "--batch-size", str(args.batch_size), "--val-bs", "200",
+              "--no-repeated-aug", "--seed", "0"]
+
+    # 2) supernet training on sub-train (published tiny recipe, short)
+    supernet_out = os.path.join(root, "supernet")
+    sh([sys.executable, "-m", "vit_search_tpu.cli.train",
+        "--model", "flexible_vit_sr_patch14_224_patch_output_supernet",
+        "--network-def", supernet_def, "--search-space", "sr_tiny_mh",
+        "--example-per-arch", str(args.example_per_arch),
+        "--num-warmup-epochs", str(args.mask_warmup_epochs),
+        "--use-holdout", "--use-patch-mixup", "--drop-path", "0.2",
+        "--no-model-ema", "--epochs", str(args.supernet_epochs),
+        "--warmup-epochs", "1", "--output_dir", supernet_out, *common], log)
+
+    # 3) evolutionary search on the holdout sub-val
+    search_out = os.path.join(root, "search")
+    sh([sys.executable, "-m", "vit_search_tpu.cli.evo_search",
+        "--data-path", data, "--val-bs", "200",
+        "--num_workers", str(args.num_workers), "--input-size", "224",
+        "--model", "flexible_vit_sr_patch14_224_patch_output",
+        "--model-path", os.path.join(supernet_out, "checkpoints", "checkpoint"),
+        "--network-def", supernet_def, "--search-space", "sr_tiny_mh",
+        "--constraint-value", str(args.constraint),
+        "--search-iter", str(args.search_iters),
+        "--init-popu-size", str(args.popu),
+        "--parent-size", str(max(4, args.popu // 5)),
+        "--mutate-size", str(max(2, args.popu // 5)),
+        "--output_dir", search_out], log)
+
+    with open(os.path.join(search_out, "history.csv")) as f:
+        best_line = f.readlines()[1]  # rank 0
+    winner_def = best_line.split('"')[1]
+
+    # 4) a random candidate at the same MAC budget (the control)
+    from vit_search_tpu.arch import ComputationEstimator, get_space, parse_network_def
+    from vit_search_tpu.search import gen_random_network_def
+
+    import numpy as np
+
+    est = ComputationEstimator(distill=False, input_resolution=224,
+                               patch_size=14)
+    rng = np.random.default_rng(12345)
+    random_def = gen_random_network_def(
+        parse_network_def(supernet_def), get_space("sr_tiny_mh"),
+        args.constraint, est, rng=rng)
+    print(f"winner MAC={est(parse_network_def(winner_def))}, "
+          f"random MAC={est(random_def)}", flush=True)
+
+    # 5) retrain both with the identical searched-net recipe
+    curves = {}
+    for tag, net in (("winner", winner_def), ("random", repr(random_def))):
+        out = os.path.join(root, f"retrain_{tag}")
+        sh([sys.executable, "-m", "vit_search_tpu.cli.train",
+            "--model", "flexible_vit_sr_patch14_224_patch_output",
+            "--network-def", net, "--use-patch-mixup",
+            "--drop-path", "0.1", "--no-model-ema",
+            "--epochs", str(args.retrain_epochs), "--warmup-epochs", "2",
+            "--output_dir", out, *common], log)
+        curves[tag] = read_curve(out)
+
+    summary = {
+        "supernet_curve": read_curve(supernet_out),
+        "search_best_per_iter": open(
+            os.path.join(search_out, "summary.txt")).read().splitlines(),
+        "winner_def": winner_def,
+        "random_def": repr(random_def),
+        "winner_mac": int(est(parse_network_def(winner_def))),
+        "random_mac": int(est(random_def)),
+        "winner_curve": curves["winner"],
+        "random_curve": curves["random"],
+        "winner_final_acc1": curves["winner"][-1]["test_acc1"],
+        "random_final_acc1": curves["random"][-1]["test_acc1"],
+    }
+    with open(os.path.join(root, "study_summary.json"), "w") as f:
+        json.dump(summary, f, indent=1)
+    print(json.dumps({k: v for k, v in summary.items()
+                      if not k.endswith("curve")
+                      and k != "supernet_curve"}, indent=1))
+
+
+if __name__ == "__main__":
+    main()
