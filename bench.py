@@ -65,9 +65,37 @@ def main():
 
     key = jax.random.PRNGKey(0)
 
-    def one_step(state):
-        counts = sched.sample_packed(rng, BATCH)
-        return step(state, images, labels, counts, key)
+    # BENCH_LOADER=1: feed batches through the real input pipeline instead
+    # of a device-resident tensor — SyntheticDataset PIL decode + full train
+    # transform (RandomResizedCrop/flip/RandAugment) on worker threads,
+    # uint8 host batches, async sharded device_put (prefetch_to_mesh).
+    # Measures end-to-end imgs/sec including the loader.
+    use_loader = os.environ.get("BENCH_LOADER", "0") == "1"
+    if use_loader:
+        from vit_search_tpu.data import (DataLoader, ShardedSampler,
+                                         SyntheticDataset, TrainTransform)
+        from vit_search_tpu.parallel import create_mesh, prefetch_to_mesh
+
+        mesh = create_mesh()
+        dataset = SyntheticDataset(num_classes=1000, size=176,
+                                   length=BATCH * (STEPS + WARMUP + 2),
+                                   img_size=224,
+                                   transform=TrainTransform(size=224))
+        sampler = ShardedSampler(len(dataset), 1, 0, shuffle=True)
+        loader = DataLoader(dataset, sampler, BATCH,
+                            num_workers=int(os.environ.get("BENCH_WORKERS",
+                                                           "16")),
+                            drop_last=True)
+        batch_iter = iter(prefetch_to_mesh(loader, mesh))
+
+        def one_step(state):
+            imgs, lbls = next(batch_iter)
+            counts = sched.sample_packed(rng, BATCH)
+            return step(state, imgs, lbls, counts, key)
+    else:
+        def one_step(state):
+            counts = sched.sample_packed(rng, BATCH)
+            return step(state, images, labels, counts, key)
 
     # Per-step scalar materialization: block_until_ready is unreliable over
     # remote/async backends (returns before execution), so the only honest
@@ -99,8 +127,11 @@ def main():
 
     n_chips = jax.device_count()
     imgs_per_sec_per_chip = BATCH * STEPS / elapsed / n_chips
+    metric = "vit_resnas_tiny_supernet_train_imgs_per_sec_per_chip"
+    if use_loader:
+        metric += "_e2e_with_loader"
     print(json.dumps({
-        "metric": "vit_resnas_tiny_supernet_train_imgs_per_sec_per_chip",
+        "metric": metric,
         "value": round(imgs_per_sec_per_chip, 2),
         "unit": "imgs/sec/chip",
         "vs_baseline": round(imgs_per_sec_per_chip / V100_BASELINE_IMGS_PER_SEC_PER_CHIP, 3),

@@ -59,10 +59,19 @@ class DataLoader:
             job_q.put((i, b))
         stop = threading.Event()
 
+        # workers park when this many finished batches are waiting, so a
+        # slow consumer cannot make the results dict grow into the epoch
+        backlog_limit = self.prefetch_batches + self.num_workers
+        backlog_free = threading.Condition()
+
         def worker(worker_id: int):
             rng = np.random.default_rng(
                 (self.seed, self.epoch, worker_id))
             while not stop.is_set():
+                with backlog_free:
+                    while (len(results) >= backlog_limit
+                           and not stop.is_set()):
+                        backlog_free.wait(timeout=0.1)
                 try:
                     bi, batch_indices = job_q.get_nowait()
                 except queue.Empty:
@@ -92,6 +101,8 @@ class DataLoader:
                         item = results.pop(next_bi, None)
                     if item is None:
                         return  # stopped before the batch arrived
+                    with backlog_free:
+                        backlog_free.notify_all()
                     # blocking put happens OUTSIDE the lock so workers can
                     # keep posting results while the consumer is slow
                     out_q.put(item)
