@@ -23,7 +23,6 @@ from typing import Dict, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..arch import network_def as nd
 
