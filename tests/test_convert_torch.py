@@ -25,7 +25,7 @@ def _tree_shapes(tree):
     return jax.tree.map(lambda x: tuple(x.shape), tree)
 
 
-def _synth_torch_sd(params, batch_stats, network_def):
+def _synth_torch_sd(params, batch_stats, network_def, patch=PATCH):
     """Inverse of convert_state_dict: flax trees -> reference-keyed arrays."""
     from vit_search_tpu.arch import network_def as nd
 
@@ -50,7 +50,7 @@ def _synth_torch_sd(params, batch_stats, network_def):
     if stem_type == nd.LINEAR_EMBED:
         kernel = np.asarray(params["patch_embed"]["proj"]["kernel"])
         o = kernel.shape[1]
-        w = kernel.reshape(PATCH, PATCH, 3, o).transpose(3, 2, 0, 1)
+        w = kernel.reshape(patch, patch, 3, o).transpose(3, 2, 0, 1)
         sd["patch_embed.proj.weight"] = np.ascontiguousarray(w)
         sd["patch_embed.proj.bias"] = np.asarray(params["patch_embed"]["proj"]["bias"])
     else:

@@ -71,3 +71,64 @@ def test_hub_load_and_list():
 
     out = model.apply(variables, jnp.zeros((1, 32, 32, 3)))
     assert out.shape == (1, 4)
+
+
+def test_hub_url_and_torch_checkpoint_loading(tmp_path, monkeypatch):
+    """hub.load accepts an http:// URL to a reference-format .pth torch
+    checkpoint: downloaded into the cache once, converted on the fly
+    (reference hubconf.py / models.py:15-57 pretrained loading)."""
+    import http.server
+    import threading
+
+    import jax
+    import numpy as np
+    import pytest as _pytest
+
+    torch = _pytest.importorskip("torch")
+    from test_convert_torch import LINEAR_NET, _synth_torch_sd
+
+    from vit_search_tpu import hub
+
+    name = "flexible_vit_sr_patch14_224"
+    model, variables = hub.load(name, img_size=28, network_def=LINEAR_NET,
+                                num_classes=4)
+    sd = _synth_torch_sd(variables["params"], {}, LINEAR_NET, patch=14)
+    serve_dir = tmp_path / "www"
+    serve_dir.mkdir()
+    torch.save({"model": {k: torch.from_numpy(np.asarray(v))
+                          for k, v in sd.items()}},
+               serve_dir / "ckpt.pth")
+
+    handler = lambda *a, **kw: http.server.SimpleHTTPRequestHandler(
+        *a, directory=str(serve_dir), **kw)
+    httpd = http.server.HTTPServer(("127.0.0.1", 0), handler)
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    url = f"http://127.0.0.1:{httpd.server_port}/ckpt.pth"
+
+    monkeypatch.setenv("VST_HUB_CACHE", str(tmp_path / "cache"))
+    try:
+        _, loaded = hub.load(name, checkpoint=url, img_size=28,
+                             network_def=LINEAR_NET, num_classes=4)
+    finally:
+        httpd.shutdown()
+
+    for (p1, a), (p2, b) in zip(
+            jax.tree_util.tree_flatten_with_path(loaded["params"])[0],
+            jax.tree_util.tree_flatten_with_path(variables["params"])[0]):
+        assert p1 == p2
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+    # cache hit: server is down, same URL still resolves
+    _, again = hub.load(name, checkpoint=url, img_size=28,
+                        network_def=LINEAR_NET, num_classes=4)
+    np.testing.assert_allclose(
+        np.asarray(jax.tree.leaves(again["params"])[0]),
+        np.asarray(jax.tree.leaves(loaded["params"])[0]))
+
+    # pretrained registry: published deit names present, unknown names error
+    for deit in ("deit_tiny_patch16_224", "deit_small_patch16_224",
+                 "deit_base_patch16_224"):
+        assert deit in hub.PRETRAINED_URLS
+    with _pytest.raises(ValueError):
+        hub.load("flexible_vit_sr_patch14_224", pretrained=True,
+                 img_size=28, network_def=LINEAR_NET, num_classes=4)
