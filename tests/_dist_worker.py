@@ -118,16 +118,19 @@ def main():
 
     if mode == "lib":
         result = run_lib_scenario()
-    elif mode == "cli":
-        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    elif mode in ("cli", "cli-evo"):
+        sys.path.insert(0, _HERE)
         import test_cli_e2e  # noqa: F401  (registers the tiny test model/space)
-
-        from vit_search_tpu.cli.train import get_args_parser
-        from vit_search_tpu.cli.train import main as train_main
         import argparse
 
+        if mode == "cli":
+            from vit_search_tpu.cli.train import get_args_parser
+            from vit_search_tpu.cli.train import main as cli_main
+        else:
+            from vit_search_tpu.cli.evo_search import get_args_parser
+            from vit_search_tpu.cli.evo_search import main as cli_main
         parser = argparse.ArgumentParser(parents=[get_args_parser()])
-        result = train_main(parser.parse_args(sys.argv[6:]))
+        result = cli_main(parser.parse_args(sys.argv[6:]))
     else:
         raise SystemExit(f"unknown mode {mode!r}")
 

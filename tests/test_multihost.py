@@ -93,3 +93,55 @@ def test_cli_eval_two_process_matches_single(tmp_path, nproc):
     for k in ("acc1", "acc5", "loss"):
         np.testing.assert_allclose(two[0]["eval"][k], one[0]["eval"][k],
                                    rtol=1e-5, atol=1e-4), k
+
+
+def test_cli_evo_search_two_process_matches_single(tmp_path):
+    """The evo-search CLI across 2 jax.distributed processes: per-host
+    sharded sub-val loaders + mesh-sharded candidate scoring produce the
+    same best candidate and score as the 1-process run (the reference's
+    8-GPU DDP candidate eval contract)."""
+    import numpy as np
+
+    from vit_search_tpu.arch import ComputationEstimator
+
+    # train a tiny supernet once (1 process) to produce the checkpoint
+    sup_out = tmp_path / "supernet"
+    os.makedirs(sup_out, exist_ok=True)
+    train_args = [
+        "--data-set", "SYNTHETIC:4:64:28", "--data-path", "",
+        "--input-size", "28", "--batch-size", "8", "--val-bs", "8",
+        "--epochs", "1", "--max-steps-per-epoch", "4",
+        "--num_workers", "2", "--no-repeated-aug", "--no-bf16",
+        "--warmup-epochs", "0", "--reprob", "0", "--mixup", "0",
+        "--cutmix", "0", "--seed", "0",
+        "--model", "tiny_test_patch7_28_supernet",
+        "--search-space", "tiny_test", "--example-per-arch", "4",
+        "--num-warmup-epochs", "0", "--no-model-ema",
+        "--output_dir", str(sup_out)]
+    _run_workers("cli", 1, sup_out, train_args)
+
+    from test_cli_e2e import TEST_NET
+
+    est = ComputationEstimator(distill=False, input_resolution=28,
+                               patch_size=7)
+    evo_args = [
+        "--data-path", "", "--data-set", "SYNTHETIC:4:32:28",
+        "--val-bs", "8", "--num_workers", "2", "--input-size", "28",
+        "--model", "tiny_test_patch7_28",
+        "--model-path", os.path.join(sup_out, "checkpoints", "checkpoint"),
+        "--network-def", repr(TEST_NET), "--search-space", "tiny_test",
+        "--constraint-value", str(est(TEST_NET) * 0.7),
+        "--search-iter", "2", "--init-popu-size", "6",
+        "--parent-size", "4", "--mutate-size", "3", "--no-bf16",
+        "--arch-batch", "3", "--seed", "0", "--patch-size", "7"]
+    os.makedirs(tmp_path / "two", exist_ok=True)
+    os.makedirs(tmp_path / "one", exist_ok=True)
+    two = _run_workers("cli-evo", 2, tmp_path / "two", evo_args)
+    one = _run_workers("cli-evo", 1, tmp_path / "one", evo_args)
+
+    assert two[0]["best_network_def"] == two[1]["best_network_def"]
+    assert two[0]["best_network_def"] == one[0]["best_network_def"]
+    np.testing.assert_allclose(two[0]["best_per_iter"], two[1]["best_per_iter"],
+                               rtol=0, atol=0)
+    np.testing.assert_allclose(two[0]["best_per_iter"], one[0]["best_per_iter"],
+                               rtol=1e-5, atol=1e-4)

@@ -79,9 +79,25 @@ def restore_raw(path: str) -> Dict[str, Any]:
     ``restore_raw(path)["params"]`` (or ``["ema_params"]``, which the
     finetune path prefers like the reference,
     network_utils/finetune_state_dict.py:10-21).
+
+    Leaves are restored as *numpy* arrays explicitly: jax.Array restoration
+    requires concrete shardings under multi-process runs (orbax refuses
+    ``sharding=None`` there), while numpy restoration is valid in any
+    process topology — each host reads the full tree, exactly like the
+    reference's per-rank ``torch.load``.
     """
+    import jax
+    import numpy as np
+
     path = os.path.abspath(path)
-    restored = ocp.PyTreeCheckpointer().restore(path)
+    ckptr = ocp.PyTreeCheckpointer()
+    meta = ckptr.metadata(path)
+    if hasattr(meta, "item_metadata"):  # StepMetadata wrapper
+        meta = meta.item_metadata
+    tree = meta.tree if hasattr(meta, "tree") else meta
+    restore_args = jax.tree.map(
+        lambda _: ocp.RestoreArgs(restore_type=np.ndarray), tree)
+    restored = ckptr.restore(path, restore_args=restore_args)
     out = dict(restored) if isinstance(restored, dict) else restored.__dict__
     meta_path = f"{path}.metadata.json"
     out["metadata"] = {}
