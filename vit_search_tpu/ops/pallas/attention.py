@@ -15,12 +15,8 @@ are a static in-kernel loop, one score tile live at a time.
 The custom VJP recomputes probabilities in the backward kernel
 (flash-attention residual strategy: nothing saved but the inputs).
 
-Numerics: matmul operands stay in the input dtype (bf16) with float32 MXU
-accumulation (``preferred_element_type``) — for bf16 inputs this produces the
-same products as an f32 matmul of the upcast values at ~8x the MXU rate.
-Softmax statistics and the ds softmax-backward algebra run in float32;
-probability/ds tiles are cast to bf16 only as matmul operands, the standard
-flash-attention precision recipe.
+Numerics: scores/softmax in float32; probabilities cast to the value dtype
+for the context matmul, matching the plain-JAX path in models.layers.
 """
 
 from __future__ import annotations
@@ -51,7 +47,9 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, num_heads: int):
     d = width // num_heads
     for h in range(num_heads):
         sl = slice(h * d, (h + 1) * d)
-        s = jax.lax.dot_general(q_ref[:, :, sl], k_ref[:, :, sl], _QK_T,
+        q = q_ref[:, :, sl].astype(jnp.float32)
+        k = k_ref[:, :, sl].astype(jnp.float32)
+        s = jax.lax.dot_general(q, k, _QK_T,
                                 preferred_element_type=jnp.float32) * scale
         p = _softmax_rows(s)
         v = v_ref[:, :, sl]
@@ -66,22 +64,20 @@ def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref,
     d = width // num_heads
     for h in range(num_heads):
         sl = slice(h * d, (h + 1) * d)
-        q = q_ref[:, :, sl]
-        k = k_ref[:, :, sl]
-        v = v_ref[:, :, sl]
-        do = do_ref[:, :, sl]
+        q = q_ref[:, :, sl].astype(jnp.float32)
+        k = k_ref[:, :, sl].astype(jnp.float32)
+        v = v_ref[:, :, sl].astype(jnp.float32)
+        do = do_ref[:, :, sl].astype(jnp.float32)
 
         s = jax.lax.dot_general(q, k, _QK_T,
                                 preferred_element_type=jnp.float32) * scale
         p = _softmax_rows(s)
-        pb = p.astype(q.dtype)
 
-        dv = jax.lax.dot_general(pb, do, _PT_DO, preferred_element_type=jnp.float32)
+        dv = jax.lax.dot_general(p, do, _PT_DO, preferred_element_type=jnp.float32)
         dp = jax.lax.dot_general(do, v, _QK_T, preferred_element_type=jnp.float32)
         ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
-        dsb = (ds * scale).astype(q.dtype)
-        dq = jax.lax.dot_general(dsb, k, _PV, preferred_element_type=jnp.float32)
-        dk = jax.lax.dot_general(dsb, q, _PT_DO, preferred_element_type=jnp.float32)
+        dq = jax.lax.dot_general(ds, k, _PV, preferred_element_type=jnp.float32) * scale
+        dk = jax.lax.dot_general(ds, q, _PT_DO, preferred_element_type=jnp.float32) * scale
 
         dq_ref[:, :, sl] = dq.astype(dq_ref.dtype)
         dk_ref[:, :, sl] = dk.astype(dk_ref.dtype)
@@ -97,8 +93,8 @@ def _fwd_kernel_qkv(qkv_ref, o_ref, *, scale: float, num_heads: int):
     width = o_ref.shape[-1]
     d = width // num_heads
     for h in range(num_heads):
-        q = qkv_ref[:, :, h * d:(h + 1) * d]
-        k = qkv_ref[:, :, width + h * d:width + (h + 1) * d]
+        q = qkv_ref[:, :, h * d:(h + 1) * d].astype(jnp.float32)
+        k = qkv_ref[:, :, width + h * d:width + (h + 1) * d].astype(jnp.float32)
         s = jax.lax.dot_general(q, k, _QK_T,
                                 preferred_element_type=jnp.float32) * scale
         p = _softmax_rows(s)
@@ -118,22 +114,20 @@ def _bwd_kernel_qkv(qkv_ref, do_ref, dqkv_ref, *, scale: float,
         qsl = slice(h * d, (h + 1) * d)
         ksl = slice(width + h * d, width + (h + 1) * d)
         vsl = slice(2 * width + h * d, 2 * width + (h + 1) * d)
-        q = qkv_ref[:, :, qsl]
-        k = qkv_ref[:, :, ksl]
-        v = qkv_ref[:, :, vsl]
-        do = do_ref[:, :, qsl]
+        q = qkv_ref[:, :, qsl].astype(jnp.float32)
+        k = qkv_ref[:, :, ksl].astype(jnp.float32)
+        v = qkv_ref[:, :, vsl].astype(jnp.float32)
+        do = do_ref[:, :, qsl].astype(jnp.float32)
 
         s = jax.lax.dot_general(q, k, _QK_T,
                                 preferred_element_type=jnp.float32) * scale
         p = _softmax_rows(s)
-        pb = p.astype(q.dtype)
 
-        dv = jax.lax.dot_general(pb, do, _PT_DO, preferred_element_type=jnp.float32)
+        dv = jax.lax.dot_general(p, do, _PT_DO, preferred_element_type=jnp.float32)
         dp = jax.lax.dot_general(do, v, _QK_T, preferred_element_type=jnp.float32)
         ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
-        dsb = (ds * scale).astype(q.dtype)
-        dq = jax.lax.dot_general(dsb, k, _PV, preferred_element_type=jnp.float32)
-        dk = jax.lax.dot_general(dsb, q, _PT_DO, preferred_element_type=jnp.float32)
+        dq = jax.lax.dot_general(ds, k, _PV, preferred_element_type=jnp.float32) * scale
+        dk = jax.lax.dot_general(ds, q, _PT_DO, preferred_element_type=jnp.float32) * scale
 
         dqkv_ref[:, :, qsl] = dq.astype(dqkv_ref.dtype)
         dqkv_ref[:, :, ksl] = dk.astype(dqkv_ref.dtype)
