@@ -58,7 +58,30 @@ def test_pallas_supported_predicate():
     assert masked_ln_supported(x, mask)
     assert not masked_ln_supported(x, None)
     assert not masked_ln_supported(jnp.zeros((2, 16, 100)), mask)  # C % 128 != 0
-    assert not masked_ln_supported(jnp.zeros((2, 7, 128)), mask)   # N % 8 != 0
+    assert masked_ln_supported(jnp.zeros((2, 7, 128)), mask)       # odd N is fine
+
+
+def test_pallas_masked_ln_odd_seq_lengths():
+    """ViT-SR stage lengths (257/65/17) are odd; whole-sequence blocks must
+    reduce correctly, forward and backward."""
+    for n in (7, 17, 65):
+        x, w, b, mask = _data(N=n, seed=n)
+        got = masked_layer_norm_pallas(x, w, b, mask)
+        want = masked_layer_norm(x, w, b, mask)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5, err_msg=str(n))
+        g = jnp.asarray(np.random.default_rng(n).normal(size=x.shape)
+                        .astype(np.float32))
+
+        def loss(fn):
+            return lambda x_, w_, b_: jnp.sum(fn(x_, w_, b_, mask) * g)
+
+        ga = jax.grad(loss(masked_layer_norm_pallas), argnums=(0, 1, 2))(x, w, b)
+        ge = jax.grad(loss(masked_layer_norm), argnums=(0, 1, 2))(x, w, b)
+        for a, e, name in zip(ga, ge, ("gx", "gw", "gb")):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(e),
+                                       rtol=1e-4, atol=1e-5,
+                                       err_msg=f"N={n} {name}")
 
 
 def test_pallas_multi_tile_rows():

@@ -26,9 +26,13 @@ from typing import Optional
 
 import jax.numpy as jnp
 
-# Opt-in Pallas kernel for the masked path (VST_PALLAS_LN=1).  The plain-JAX
-# path below is the reference numerics and the fallback for unsupported
-# shapes / non-TPU backends.
+# Opt-in Pallas kernel (fwd + fused bwd) for the masked path
+# (VST_PALLAS_LN=1).  Profiled OFF as the default on v5e: the custom-call
+# boundary stops XLA from fusing the surrounding mask multiplies / residual
+# adds into the LN, and the net step time is ~7% worse than the XLA lowering
+# (200.7 vs 187.4 ms/step on the b512 supernet bench) even though the kernel
+# itself replaces the stat-reduction kernels.  The plain-JAX path below is
+# the reference numerics and the fallback for unsupported shapes.
 _USE_PALLAS = os.environ.get("VST_PALLAS_LN", "0") == "1"
 
 
@@ -59,9 +63,12 @@ def masked_layer_norm(x: jnp.ndarray, weight: jnp.ndarray, bias: jnp.ndarray,
     if _USE_PALLAS:
         from .pallas import masked_layer_norm_pallas, masked_ln_supported
 
-        if masked_ln_supported(x, mask):
+        m = mask
+        if m.ndim == x.ndim and m.shape[0] == 1 and x.shape[0] != 1:
+            m = jnp.broadcast_to(m, (x.shape[0],) + m.shape[1:])
+        if masked_ln_supported(x, m):
             return masked_layer_norm_pallas(x, weight, bias,
-                                            mask.astype(x.dtype), eps)
+                                            m.astype(x.dtype), eps)
 
     maskf = mask.astype(jnp.float32)
     inv_p = 1.0 / jnp.mean(maskf, axis=-1, keepdims=True)
