@@ -60,6 +60,10 @@ def main():
     p.add_argument("--val-per-class", type=int, default=50)
     p.add_argument("--holdout-per-class", type=int, default=25)
     p.add_argument("--img-size", type=int, default=176)
+    p.add_argument("--input-size", type=int, default=224,
+                   help="train/eval resolution; must be a multiple of 56 "
+                        "(patch14 grid x patch-mixup grid). 112 runs the "
+                        "whole study ~6x faster at reduced scale.")
     p.add_argument("--batch-size", type=int, default=256)
     p.add_argument("--supernet-epochs", type=int, default=12)
     p.add_argument("--mask-warmup-epochs", type=int, default=3)
@@ -96,8 +100,12 @@ def main():
         sh([sys.executable, "-m", "vit_search_tpu.data.subset", data,
             "--per-class", str(args.holdout_per_class)], log)
 
+    assert args.input_size % 56 == 0, "patch14 grid x patch-mixup grid"
+    patch_len = args.input_size // 56
     common = ["--data-path", data, "--data-set", "IMNET",
-              "--input-size", "224", "--num_workers", str(args.num_workers),
+              "--input-size", str(args.input_size),
+              "--mixup-patch-len", str(patch_len),
+              "--num_workers", str(args.num_workers),
               "--batch-size", str(args.batch_size), "--val-bs", "200",
               "--no-repeated-aug", "--seed", "0"]
 
@@ -113,14 +121,19 @@ def main():
         "--warmup-epochs", "1", "--output_dir", supernet_out, *common], log)
 
     # 3) evolutionary search on the holdout sub-val
+    # MACs scale with token count; keep the published 224px budget meaningful
+    # at reduced resolution by scaling it with the grid area.
+    constraint = args.constraint * (args.input_size / 224.0) ** 2
+
     search_out = os.path.join(root, "search")
     sh([sys.executable, "-m", "vit_search_tpu.cli.evo_search",
         "--data-path", data, "--val-bs", "200",
-        "--num_workers", str(args.num_workers), "--input-size", "224",
+        "--num_workers", str(args.num_workers),
+        "--input-size", str(args.input_size),
         "--model", "flexible_vit_sr_patch14_224_patch_output",
         "--model-path", os.path.join(supernet_out, "checkpoints", "checkpoint"),
         "--network-def", supernet_def, "--search-space", "sr_tiny_mh",
-        "--constraint-value", str(args.constraint),
+        "--constraint-value", str(constraint),
         "--search-iter", str(args.search_iters),
         "--init-popu-size", str(args.popu),
         "--parent-size", str(max(4, args.popu // 5)),
@@ -137,12 +150,13 @@ def main():
 
     import numpy as np
 
-    est = ComputationEstimator(distill=False, input_resolution=224,
+    est = ComputationEstimator(distill=False,
+                               input_resolution=args.input_size,
                                patch_size=14)
     rng = np.random.default_rng(12345)
     random_def = gen_random_network_def(
         parse_network_def(supernet_def), get_space("sr_tiny_mh"),
-        args.constraint, est, rng=rng)
+        constraint, est, rng=rng)
     print(f"winner MAC={est(parse_network_def(winner_def))}, "
           f"random MAC={est(random_def)}", flush=True)
 
