@@ -1,0 +1,81 @@
+"""Plumbing test for the end-to-end accuracy study driver.
+
+Runs ``tools/accuracy_study.main`` with every subprocess stubbed out,
+asserting the flag wiring the real TPU runs rely on: the reduced-resolution
+axis (``--input-size`` -> ``--mixup-patch-len`` and the area-scaled MAC
+constraint), artifact handoff between stages (history.csv winner parsing),
+and the final summary JSON.  The real thing runs on the TPU
+(see RESULTS.md); this pins the driver's wiring on CPU.
+"""
+
+import json
+import os
+
+import pytest
+
+from vit_search_tpu.tools import accuracy_study
+
+
+# a valid sr_tiny_mh-space member (produced by a real search run)
+WINNER_DEF = ("((4, 176), (1, (176, 3, 32), (176, 704), 1), "
+              "(1, (176, 3, 32), (176, 704), 0), (1, (176, 3, 32), (176, 640), 1), "
+              "(1, (176, 3, 32), (176, 384), 0), (1, (176, 3, 32), (176, 640), 1), "
+              "(1, (176, 3, 32), (176, 576), 1), (3, 176, 384), "
+              "(1, (384, 6, 48), (384, 1152), 1), (1, (384, 8, 48), (384, 1408), 1), "
+              "(1, (384, 10, 48), (384, 1536), 1), (1, (384, 6, 48), (384, 1024), 0), "
+              "(1, (384, 10, 48), (384, 1152), 1), (1, (384, 10, 48), (384, 1408), 1), "
+              "(3, 384, 896), (1, (896, 8, 64), (896, 1536), 1), "
+              "(1, (896, 6, 64), (896, 2816), 1), (1, (896, 10, 64), (896, 1536), 1), "
+              "(1, (896, 8, 64), (896, 2304), 1), (1, (896, 10, 64), (896, 2560), 1), "
+              "(1, (896, 10, 64), (896, 1536), 1), (2, 896, 100))")
+
+
+@pytest.mark.parametrize("input_size,patch_len", [(112, 2), (224, 4)])
+def test_study_driver_plumbing(tmp_path, monkeypatch, input_size, patch_len):
+    cmds = []
+
+    def fake_sh(cmd, log_path=None):
+        cmds.append(cmd)
+        joined = " ".join(cmd)
+        if "vit_search_tpu.cli.evo_search" in joined:
+            out = cmd[cmd.index("--output_dir") + 1]
+            os.makedirs(out, exist_ok=True)
+            with open(os.path.join(out, "history.csv"), "w") as f:
+                f.write('rank,score,network_def\n0,5.3,"%s"\n' % WINNER_DEF)
+            with open(os.path.join(out, "summary.txt"), "w") as f:
+                f.write("iter 0: score=5.3\n")
+        elif "vit_search_tpu.cli.train" in joined and "--network-def" in joined:
+            out = cmd[cmd.index("--output_dir") + 1]
+            os.makedirs(out, exist_ok=True)
+            with open(os.path.join(out, "log.txt"), "w") as f:
+                f.write(json.dumps({"epoch": 0, "train_loss": 4.0,
+                                    "test_acc1": 10.0, "test_acc5": 30.0}) + "\n")
+
+    monkeypatch.setattr(accuracy_study, "sh", fake_sh)
+    monkeypatch.setattr(
+        "sys.argv",
+        ["accuracy_study", "--root", str(tmp_path), "--skip-generate",
+         "--input-size", str(input_size)])
+    accuracy_study.main()
+
+    train_cmds = [c for c in cmds if "vit_search_tpu.cli.train" in " ".join(c)]
+    search_cmds = [c for c in cmds if "evo_search" in " ".join(c)]
+    assert len(train_cmds) == 3  # supernet + winner + random control
+    assert len(search_cmds) == 1
+
+    for cmd in train_cmds:
+        assert cmd[cmd.index("--input-size") + 1] == str(input_size)
+        assert cmd[cmd.index("--mixup-patch-len") + 1] == str(patch_len)
+
+    # MAC budget scales with the token-grid area
+    constraint = float(
+        search_cmds[0][search_cmds[0].index("--constraint-value") + 1])
+    assert constraint == pytest.approx(1.7944e9 * (input_size / 224.0) ** 2)
+
+    with open(tmp_path / "study_summary.json") as f:
+        summary = json.load(f)
+    assert summary["winner_def"] == WINNER_DEF
+    assert summary["winner_final_acc1"] == 10.0
+    assert summary["winner_mac"] > 0 and summary["random_mac"] > 0
+    # the random control respects the same scaled budget
+    assert summary["random_mac"] <= constraint
