@@ -58,14 +58,28 @@ def test_study_driver_plumbing(tmp_path, monkeypatch, input_size, patch_len):
          "--input-size", str(input_size)])
     accuracy_study.main()
 
-    train_cmds = [c for c in cmds if "vit_search_tpu.cli.train" in " ".join(c)]
+    train_cmds = [c for c in cmds if "vit_search_tpu.cli.train" in " ".join(c)
+                  and "--eval" not in c and "--finetune" not in c]
+    ft_cmds = [c for c in cmds if "--finetune" in c]
+    eval_cmds = [c for c in cmds if "--eval" in c]
     search_cmds = [c for c in cmds if "evo_search" in " ".join(c)]
     assert len(train_cmds) == 3  # supernet + winner + random control
     assert len(search_cmds) == 1
+    assert len(ft_cmds) == 1 and len(eval_cmds) == 1
 
     for cmd in train_cmds:
         assert cmd[cmd.index("--input-size") + 1] == str(input_size)
         assert cmd[cmd.index("--mixup-patch-len") + 1] == str(patch_len)
+
+    # finetune + eval run at the next 56-multiple with matching patch len
+    ft_size, ft_len = input_size + 56, patch_len + 1
+    for cmd in ft_cmds + eval_cmds:
+        assert cmd[cmd.index("--input-size") + 1] == str(ft_size)
+        assert cmd[cmd.index("--mixup-patch-len") + 1] == str(ft_len)
+    assert ft_cmds[0][ft_cmds[0].index("--finetune") + 1].endswith(
+        os.path.join("retrain_winner", "checkpoints", "checkpoint"))
+    assert eval_cmds[0][eval_cmds[0].index("--resume") + 1].endswith(
+        os.path.join("finetune", "checkpoints", "checkpoint"))
 
     # MAC budget scales with the token-grid area
     constraint = float(
@@ -79,3 +93,45 @@ def test_study_driver_plumbing(tmp_path, monkeypatch, input_size, patch_len):
     assert summary["winner_mac"] > 0 and summary["random_mac"] > 0
     # the random control respects the same scaled budget
     assert summary["random_mac"] <= constraint
+    assert summary["finetune_size"] == ft_size
+    assert "eval_only" in summary
+
+
+def test_study_stage_selection(tmp_path, monkeypatch):
+    """Re-running only late stages must consume prior on-disk artifacts
+    and merge into the existing summary instead of overwriting it."""
+    cmds = []
+
+    def fake_sh(cmd, log_path=None):
+        cmds.append(cmd)
+
+    search_out = tmp_path / "search"
+    search_out.mkdir()
+    (search_out / "history.csv").write_text(
+        'rank,score,network_def\n0,5.3,"%s"\n' % WINNER_DEF)
+    (search_out / "summary.txt").write_text("iter 0: score=5.3\n")
+    (tmp_path / "finetune").mkdir()
+    (tmp_path / "finetune" / "log.txt").write_text(
+        json.dumps({"epoch": 0, "train_loss": 3.0,
+                    "test_acc1": 12.0, "test_acc5": 33.0}) + "\n")
+    (tmp_path / "study_summary.json").write_text(
+        json.dumps({"winner_final_acc1": 10.0, "random_final_acc1": 9.0}))
+
+    monkeypatch.setattr(accuracy_study, "sh", fake_sh)
+    monkeypatch.setattr(
+        "sys.argv",
+        ["accuracy_study", "--root", str(tmp_path),
+         "--stages", "finetune,eval"])
+    accuracy_study.main()
+
+    assert not any("evo_search" in " ".join(c) for c in cmds)
+    assert not any("--search-space" in c for c in cmds)  # no supernet train
+    assert len(cmds) == 2  # finetune + eval only
+
+    with open(tmp_path / "study_summary.json") as f:
+        summary = json.load(f)
+    # merged: prior retrain numbers survive, new stage keys added
+    assert summary["winner_final_acc1"] == 10.0
+    assert summary["random_final_acc1"] == 9.0
+    assert summary["finetune_curve"][0]["test_acc1"] == 12.0
+    assert summary["winner_def"] == WINNER_DEF

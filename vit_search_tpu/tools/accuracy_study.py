@@ -1,19 +1,26 @@
 """Reduced-scale end-to-end accuracy study (SURVEY §0 workloads).
 
 Runs the real pipeline — supernet training -> evolutionary search ->
-winner retrain — through the actual CLIs on the procedural ImageFolder
-dataset (make_synthfolder), then retrains a random same-MAC candidate with
-the identical recipe as the control.  Produces ``RESULTS.md``-ready JSON:
-per-epoch curves for every stage plus the searched-vs-random comparison.
+winner retrain -> higher-resolution finetune -> eval-only — through the
+actual CLIs on the procedural ImageFolder dataset (make_synthfolder), with
+a random same-MAC candidate retrained under the identical recipe as the
+control.  Produces ``RESULTS.md``-ready JSON: per-epoch curves for every
+stage plus the searched-vs-random comparison.
 
 This validates end-to-end learning (accuracy goes up under the full
 augmentation/mixup/LR recipe) and the NAS contract (the searched candidate
 outperforms a random candidate at the same MAC budget) without ImageNet on
-disk (zero-egress environment).
+disk (zero-egress environment).  The finetune stage exercises pos-embed
+interpolation at ``56*(patch_len+1)`` px (reference workload #4,
+finetune/*.sh), the eval stage the ``--eval`` path (workload #5).
 
 Usage:
   python -m vit_search_tpu.tools.accuracy_study --root /tmp/vst_study \
-      [--classes 100] [--supernet-epochs 12] [--retrain-epochs 15] ...
+      [--classes 100] [--supernet-epochs 12] [--retrain-epochs 15] \
+      [--stages supernet,search,retrain,finetune,eval] ...
+
+``--stages`` reruns individual stages against an existing root (later
+stages read the earlier stages' on-disk artifacts).
 """
 
 from __future__ import annotations
@@ -74,8 +81,17 @@ def main():
                    help="MAC budget (published tiny: 1.7944G)")
     p.add_argument("--example-per-arch", type=int, default=32)
     p.add_argument("--num-workers", type=int, default=16)
-    p.add_argument("--skip-generate", action="store_true")
+    p.add_argument("--skip-generate", action="store_true",
+                   help="legacy alias: drops the 'data' stage")
+    p.add_argument("--finetune-epochs", type=int, default=3)
+    p.add_argument("--stages",
+                   default="data,supernet,search,retrain,finetune,eval",
+                   help="comma list; later stages read earlier stages' "
+                        "artifacts from --root")
     args = p.parse_args()
+    stages = set(args.stages.split(","))
+    if args.skip_generate:
+        stages.discard("data")
 
     root = args.root
     data = args.data or os.path.join(root, "data")
@@ -91,7 +107,7 @@ def main():
                                         f"(2, 1024, {args.classes})")
 
     # 1) dataset + pinned holdout split
-    if not args.skip_generate:
+    if "data" in stages:
         sh([sys.executable, "-m", "vit_search_tpu.tools.make_synthfolder",
             data, "--classes", str(args.classes),
             "--train", str(args.train_per_class),
@@ -102,23 +118,29 @@ def main():
 
     assert args.input_size % 56 == 0, "patch14 grid x patch-mixup grid"
     patch_len = args.input_size // 56
-    common = ["--data-path", data, "--data-set", "IMNET",
-              "--input-size", str(args.input_size),
-              "--mixup-patch-len", str(patch_len),
-              "--num_workers", str(args.num_workers),
-              "--batch-size", str(args.batch_size), "--val-bs", "200",
-              "--no-repeated-aug", "--seed", "0"]
+
+    def common_flags(size, plen):
+        return ["--data-path", data, "--data-set", "IMNET",
+                "--input-size", str(size),
+                "--mixup-patch-len", str(plen),
+                "--num_workers", str(args.num_workers),
+                "--batch-size", str(args.batch_size), "--val-bs", "200",
+                "--no-repeated-aug", "--seed", "0"]
+
+    common = common_flags(args.input_size, patch_len)
 
     # 2) supernet training on sub-train (published tiny recipe, short)
     supernet_out = os.path.join(root, "supernet")
-    sh([sys.executable, "-m", "vit_search_tpu.cli.train",
-        "--model", "flexible_vit_sr_patch14_224_patch_output_supernet",
-        "--network-def", supernet_def, "--search-space", "sr_tiny_mh",
-        "--example-per-arch", str(args.example_per_arch),
-        "--num-warmup-epochs", str(args.mask_warmup_epochs),
-        "--use-holdout", "--use-patch-mixup", "--drop-path", "0.2",
-        "--no-model-ema", "--epochs", str(args.supernet_epochs),
-        "--warmup-epochs", "1", "--output_dir", supernet_out, *common], log)
+    if "supernet" in stages:
+        sh([sys.executable, "-m", "vit_search_tpu.cli.train",
+            "--model", "flexible_vit_sr_patch14_224_patch_output_supernet",
+            "--network-def", supernet_def, "--search-space", "sr_tiny_mh",
+            "--example-per-arch", str(args.example_per_arch),
+            "--num-warmup-epochs", str(args.mask_warmup_epochs),
+            "--use-holdout", "--use-patch-mixup", "--drop-path", "0.2",
+            "--no-model-ema", "--epochs", str(args.supernet_epochs),
+            "--warmup-epochs", "1", "--output_dir", supernet_out, *common],
+           log)
 
     # 3) evolutionary search on the holdout sub-val
     # MACs scale with token count; keep the published 224px budget meaningful
@@ -126,66 +148,117 @@ def main():
     constraint = args.constraint * (args.input_size / 224.0) ** 2
 
     search_out = os.path.join(root, "search")
-    sh([sys.executable, "-m", "vit_search_tpu.cli.evo_search",
-        "--data-path", data, "--val-bs", "200",
-        "--num_workers", str(args.num_workers),
-        "--input-size", str(args.input_size),
-        "--model", "flexible_vit_sr_patch14_224_patch_output",
-        "--model-path", os.path.join(supernet_out, "checkpoints", "checkpoint"),
-        "--network-def", supernet_def, "--search-space", "sr_tiny_mh",
-        "--constraint-value", str(constraint),
-        "--search-iter", str(args.search_iters),
-        "--init-popu-size", str(args.popu),
-        "--parent-size", str(max(4, args.popu // 5)),
-        "--mutate-size", str(max(2, args.popu // 5)),
-        "--output_dir", search_out], log)
+    if "search" in stages:
+        sh([sys.executable, "-m", "vit_search_tpu.cli.evo_search",
+            "--data-path", data, "--val-bs", "200",
+            "--num_workers", str(args.num_workers),
+            "--input-size", str(args.input_size),
+            "--model", "flexible_vit_sr_patch14_224_patch_output",
+            "--model-path", os.path.join(supernet_out, "checkpoints",
+                                         "checkpoint"),
+            "--network-def", supernet_def, "--search-space", "sr_tiny_mh",
+            "--constraint-value", str(constraint),
+            "--search-iter", str(args.search_iters),
+            "--init-popu-size", str(args.popu),
+            "--parent-size", str(max(4, args.popu // 5)),
+            "--mutate-size", str(max(2, args.popu // 5)),
+            "--output_dir", search_out], log)
 
     with open(os.path.join(search_out, "history.csv")) as f:
         best_line = f.readlines()[1]  # rank 0
     winner_def = best_line.split('"')[1]
 
-    # 4) a random candidate at the same MAC budget (the control)
-    from vit_search_tpu.arch import ComputationEstimator, get_space, parse_network_def
-    from vit_search_tpu.search import gen_random_network_def
-
-    import numpy as np
+    from vit_search_tpu.arch import (ComputationEstimator, get_space,
+                                     parse_network_def)
 
     est = ComputationEstimator(distill=False,
                                input_resolution=args.input_size,
                                patch_size=14)
-    rng = np.random.default_rng(12345)
-    random_def = gen_random_network_def(
-        parse_network_def(supernet_def), get_space("sr_tiny_mh"),
-        constraint, est, rng=rng)
-    print(f"winner MAC={est(parse_network_def(winner_def))}, "
-          f"random MAC={est(random_def)}", flush=True)
-
-    # 5) retrain both with the identical searched-net recipe
-    curves = {}
-    for tag, net in (("winner", winner_def), ("random", repr(random_def))):
-        out = os.path.join(root, f"retrain_{tag}")
-        sh([sys.executable, "-m", "vit_search_tpu.cli.train",
-            "--model", "flexible_vit_sr_patch14_224_patch_output",
-            "--network-def", net, "--use-patch-mixup",
-            "--drop-path", "0.1", "--no-model-ema",
-            "--epochs", str(args.retrain_epochs), "--warmup-epochs", "2",
-            "--output_dir", out, *common], log)
-        curves[tag] = read_curve(out)
-
     summary = {
         "supernet_curve": read_curve(supernet_out),
         "search_best_per_iter": open(
             os.path.join(search_out, "summary.txt")).read().splitlines(),
         "winner_def": winner_def,
-        "random_def": repr(random_def),
         "winner_mac": int(est(parse_network_def(winner_def))),
-        "random_mac": int(est(random_def)),
-        "winner_curve": curves["winner"],
-        "random_curve": curves["random"],
-        "winner_final_acc1": curves["winner"][-1]["test_acc1"],
-        "random_final_acc1": curves["random"][-1]["test_acc1"],
     }
-    with open(os.path.join(root, "study_summary.json"), "w") as f:
+
+    if "retrain" in stages:
+        # 4) a random candidate at the same MAC budget (the control)
+        from vit_search_tpu.search import gen_random_network_def
+
+        import numpy as np
+
+        rng = np.random.default_rng(12345)
+        random_def = gen_random_network_def(
+            parse_network_def(supernet_def), get_space("sr_tiny_mh"),
+            constraint, est, rng=rng)
+        print(f"winner MAC={est(parse_network_def(winner_def))}, "
+              f"random MAC={est(random_def)}", flush=True)
+
+        # 5) retrain both with the identical searched-net recipe
+        curves = {}
+        for tag, net in (("winner", winner_def), ("random", repr(random_def))):
+            out = os.path.join(root, f"retrain_{tag}")
+            sh([sys.executable, "-m", "vit_search_tpu.cli.train",
+                "--model", "flexible_vit_sr_patch14_224_patch_output",
+                "--network-def", net, "--use-patch-mixup",
+                "--drop-path", "0.1", "--no-model-ema",
+                "--epochs", str(args.retrain_epochs), "--warmup-epochs", "2",
+                "--output_dir", out, *common], log)
+            curves[tag] = read_curve(out)
+
+        summary.update({
+            "random_def": repr(random_def),
+            "random_mac": int(est(random_def)),
+            "winner_curve": curves["winner"],
+            "random_curve": curves["random"],
+            "winner_final_acc1": curves["winner"][-1]["test_acc1"],
+            "random_final_acc1": curves["random"][-1]["test_acc1"],
+        })
+
+    # 6) higher-resolution finetune of the retrained winner: pos-embed
+    # interpolation at the next 56-multiple (reference workload #4;
+    # finetune scripts use lr 5e-6/wd 1e-8 over 30 epochs — scaled here)
+    ft_len = patch_len + 1
+    ft_size = 56 * ft_len
+    ft_out = os.path.join(root, "finetune")
+    ft_common = common_flags(ft_size, ft_len)
+    if "finetune" in stages:
+        sh([sys.executable, "-m", "vit_search_tpu.cli.train",
+            "--model", "flexible_vit_sr_patch14_224_patch_output",
+            "--network-def", winner_def, "--use-patch-mixup",
+            "--finetune", os.path.join(root, "retrain_winner", "checkpoints",
+                                       "checkpoint"),
+            "--lr", "2e-5", "--weight-decay", "1e-8", "--drop-path", "0.1",
+            "--no-model-ema", "--epochs", str(args.finetune_epochs),
+            "--warmup-epochs", "0", "--output_dir", ft_out, *ft_common], log)
+        summary["finetune_size"] = ft_size
+        summary["finetune_curve"] = read_curve(ft_out)
+
+    # 7) standalone evaluation of the finetuned checkpoint (workload #5)
+    if "eval" in stages:
+        eval_log = os.path.join(root, "eval.log")
+        open(eval_log, "w").close()
+        sh([sys.executable, "-m", "vit_search_tpu.cli.train",
+            "--eval", "--resume", os.path.join(ft_out, "checkpoints",
+                                               "checkpoint"),
+            "--model", "flexible_vit_sr_patch14_224_patch_output",
+            "--network-def", winner_def, "--no-model-ema",
+            "--output_dir", os.path.join(root, "eval_out"), *ft_common],
+           eval_log)
+        with open(eval_log) as f:
+            eval_lines = [ln for ln in f if "eval:" in ln]
+        summary["eval_only"] = eval_lines[-1].split("eval:", 1)[1].strip() \
+            if eval_lines else "(not captured)"
+
+    existing = {}
+    summary_path = os.path.join(root, "study_summary.json")
+    if os.path.exists(summary_path):
+        with open(summary_path) as f:
+            existing = json.load(f)
+    existing.update(summary)
+    summary = existing
+    with open(summary_path, "w") as f:
         json.dump(summary, f, indent=1)
     print(json.dumps({k: v for k, v in summary.items()
                       if not k.endswith("curve")

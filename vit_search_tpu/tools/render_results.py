@@ -81,7 +81,23 @@ Random per-epoch top-1: `{spark([e["test_acc1"] for e in r])}`
 ### Random-control retrain curve
 
 {table(r, ["train_loss", "test_acc1", "test_acc5"])}
+"""
+    if s.get("finetune_curve"):
+        md += f"""
+## 4. Higher-resolution finetune (workload #4)
 
+Winner finetuned at {s["finetune_size"]}px (pos-embed bicubic
+interpolation, reference finetune/*.sh recipe shape):
+
+{table(s["finetune_curve"], ["train_loss", "test_acc1", "test_acc5"])}
+"""
+    if s.get("eval_only"):
+        md += f"""
+## 5. Standalone `--eval` (workload #5)
+
+`cli.train --eval --resume <finetuned ckpt>`: `{s["eval_only"]}`
+"""
+    md += f"""
 ## Definitions
 
 - winner network_def: `{s["winner_def"]}`
