@@ -97,6 +97,51 @@ def test_study_driver_plumbing(tmp_path, monkeypatch, input_size, patch_len):
     assert "eval_only" in summary
 
 
+def test_worst_control_uses_bottom_of_history(tmp_path, monkeypatch):
+    """--controls random,worst retrains the lowest-ranked history member."""
+    worst_def = WINNER_DEF.replace("(2, 896, 100))", "(2, 832, 100))")
+    cmds = []
+
+    def fake_sh(cmd, log_path=None):
+        cmds.append(cmd)
+        joined = " ".join(cmd)
+        if "evo_search" in joined:
+            out = cmd[cmd.index("--output_dir") + 1]
+            os.makedirs(out, exist_ok=True)
+            with open(os.path.join(out, "history.csv"), "w") as f:
+                f.write('rank,score,network_def\n0,5.3,"%s"\n1,2.0,"%s"\n'
+                        % (WINNER_DEF, worst_def))
+            with open(os.path.join(out, "summary.txt"), "w") as f:
+                f.write("iter 0: score=5.3\n")
+        elif "--network-def" in cmd:
+            out = cmd[cmd.index("--output_dir") + 1]
+            os.makedirs(out, exist_ok=True)
+            with open(os.path.join(out, "log.txt"), "w") as f:
+                f.write(json.dumps({"epoch": 0, "train_loss": 4.0,
+                                    "test_acc1": 10.0,
+                                    "test_acc5": 30.0}) + "\n")
+
+    monkeypatch.setattr(accuracy_study, "sh", fake_sh)
+    monkeypatch.setattr(
+        "sys.argv",
+        ["accuracy_study", "--root", str(tmp_path), "--skip-generate",
+         "--controls", "random,worst", "--stages",
+         "supernet,search,retrain"])
+    accuracy_study.main()
+
+    retrain_defs = [c[c.index("--network-def") + 1] for c in cmds
+                    if "cli.train" in " ".join(c) and "--search-space" not in c]
+    assert len(retrain_defs) == 3  # winner + random + worst
+    assert retrain_defs[0] == WINNER_DEF
+    assert retrain_defs[2] == worst_def
+
+    with open(tmp_path / "study_summary.json") as f:
+        summary = json.load(f)
+    assert summary["worst_def"] == worst_def
+    assert summary["worst_mac"] > 0
+    assert summary["random_def"] != worst_def
+
+
 def test_study_stage_selection(tmp_path, monkeypatch):
     """Re-running only late stages must consume prior on-disk artifacts
     and merge into the existing summary instead of overwriting it."""

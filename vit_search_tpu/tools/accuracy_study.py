@@ -84,6 +84,10 @@ def main():
     p.add_argument("--skip-generate", action="store_true",
                    help="legacy alias: drops the 'data' stage")
     p.add_argument("--finetune-epochs", type=int, default=3)
+    p.add_argument("--controls", default="random",
+                   help="comma list of retrain controls: 'random' (same-MAC "
+                        "random draw) and/or 'worst' (lowest-scoring search-"
+                        "history member)")
     p.add_argument("--stages",
                    default="data,supernet,search,retrain,finetune,eval",
                    help="comma list; later stages read earlier stages' "
@@ -183,21 +187,33 @@ def main():
     }
 
     if "retrain" in stages:
-        # 4) a random candidate at the same MAC budget (the control)
+        # 4) the controls: a random candidate at the same MAC budget, and
+        # (optionally) the WORST-scoring same-budget member of the search
+        # history — the sharper contrast when the space is dense around
+        # the constraint and random draws land near the frontier.
         from vit_search_tpu.search import gen_random_network_def
 
         import numpy as np
 
-        rng = np.random.default_rng(12345)
-        random_def = gen_random_network_def(
-            parse_network_def(supernet_def), get_space("sr_tiny_mh"),
-            constraint, est, rng=rng)
-        print(f"winner MAC={est(parse_network_def(winner_def))}, "
-              f"random MAC={est(random_def)}", flush=True)
+        controls = args.controls.split(",") if args.controls else []
+        jobs = [("winner", winner_def)]
+        if "random" in controls:
+            rng = np.random.default_rng(12345)
+            random_def = repr(gen_random_network_def(
+                parse_network_def(supernet_def), get_space("sr_tiny_mh"),
+                constraint, est, rng=rng))
+            jobs.append(("random", random_def))
+        if "worst" in controls:
+            with open(os.path.join(search_out, "history.csv")) as f:
+                worst_def = f.readlines()[-1].split('"')[1]
+            jobs.append(("worst", worst_def))
+        for tag, net in jobs[1:]:
+            print(f"winner MAC={est(parse_network_def(winner_def))}, "
+                  f"{tag} MAC={est(parse_network_def(net))}", flush=True)
 
-        # 5) retrain both with the identical searched-net recipe
+        # 5) retrain all with the identical searched-net recipe
         curves = {}
-        for tag, net in (("winner", winner_def), ("random", repr(random_def))):
+        for tag, net in jobs:
             out = os.path.join(root, f"retrain_{tag}")
             sh([sys.executable, "-m", "vit_search_tpu.cli.train",
                 "--model", "flexible_vit_sr_patch14_224_patch_output",
@@ -207,14 +223,13 @@ def main():
                 "--output_dir", out, *common], log)
             curves[tag] = read_curve(out)
 
-        summary.update({
-            "random_def": repr(random_def),
-            "random_mac": int(est(random_def)),
-            "winner_curve": curves["winner"],
-            "random_curve": curves["random"],
-            "winner_final_acc1": curves["winner"][-1]["test_acc1"],
-            "random_final_acc1": curves["random"][-1]["test_acc1"],
-        })
+        summary["winner_curve"] = curves["winner"]
+        summary["winner_final_acc1"] = curves["winner"][-1]["test_acc1"]
+        for tag, net in jobs[1:]:
+            summary[f"{tag}_def"] = net
+            summary[f"{tag}_mac"] = int(est(parse_network_def(net)))
+            summary[f"{tag}_curve"] = curves[tag]
+            summary[f"{tag}_final_acc1"] = curves[tag][-1]["test_acc1"]
 
     # 6) higher-resolution finetune of the retrained winner: pos-embed
     # interpolation at the next 56-multiple (reference workload #4;

@@ -36,7 +36,8 @@ def main():
     with open(summary_path) as f:
         s = json.load(f)
 
-    w, r = s["winner_curve"], s["random_curve"]
+    w = s["winner_curve"]
+    controls = [tag for tag in ("random", "worst") if f"{tag}_curve" in s]
     sup = s["supernet_curve"]
     md = f"""# Accuracy study — end-to-end pipeline at reduced scale
 
@@ -62,25 +63,35 @@ acc1 sparkline: `{spark([e["test_acc1"] for e in sup])}`
 {chr(10).join(s["search_best_per_iter"])}
 ```
 
-## 3. Searched net beats the random same-MAC control
+## 3. Searched net vs same-MAC controls
 
 Identical retraining recipe (epochs, LR schedule, token mixup, erasing):
 
 | candidate | MACs | final top-1 | final top-5 |
 |---|---|---|---|
 | **searched winner** | {s["winner_mac"] / 1e9:.3f}G | **{s["winner_final_acc1"]:.2f}%** | {w[-1].get("test_acc5", float("nan")):.2f}% |
-| random (same budget) | {s["random_mac"] / 1e9:.3f}G | {s["random_final_acc1"]:.2f}% | {r[-1].get("test_acc5", float("nan")):.2f}% |
-
+"""
+    for tag in controls:
+        c = s[f"{tag}_curve"]
+        md += (f"| {tag} (same budget) | {s[f'{tag}_mac'] / 1e9:.3f}G "
+               f"| {s[f'{tag}_final_acc1']:.2f}% "
+               f"| {c[-1].get('test_acc5', float('nan')):.2f}% |\n")
+    md += f"""
 Winner per-epoch top-1: `{spark([e["test_acc1"] for e in w])}`
-Random per-epoch top-1: `{spark([e["test_acc1"] for e in r])}`
-
+"""
+    for tag in controls:
+        md += (f"{tag.capitalize()} per-epoch top-1: "
+               f"`{spark([e['test_acc1'] for e in s[f'{tag}_curve']])}`\n")
+    md += f"""
 ### Winner retrain curve
 
 {table(w, ["train_loss", "test_acc1", "test_acc5"])}
+"""
+    for tag in controls:
+        md += f"""
+### {tag.capitalize()}-control retrain curve
 
-### Random-control retrain curve
-
-{table(r, ["train_loss", "test_acc1", "test_acc5"])}
+{table(s[f"{tag}_curve"], ["train_loss", "test_acc1", "test_acc5"])}
 """
     if s.get("finetune_curve"):
         md += f"""
@@ -101,8 +112,10 @@ interpolation, reference finetune/*.sh recipe shape):
 ## Definitions
 
 - winner network_def: `{s["winner_def"]}`
-- random network_def: `{s["random_def"]}`
-
+"""
+    for tag in controls:
+        md += f"- {tag} network_def: `{s[f'{tag}_def']}`\n"
+    md += """
 Reproduce: `python -m vit_search_tpu.tools.accuracy_study --root <dir>`
 (one v5e chip; wall-clock dominated by the host input pipeline on this
 1-CPU-core dev box).
