@@ -79,7 +79,7 @@ def main():
 
         mesh = create_mesh()
         dataset = SyntheticDataset(num_classes=1000, size=176,
-                                   length=BATCH * (STEPS + WARMUP + 2),
+                                   length=BATCH * (WARMUP + WINDOWS * STEPS + 2),
                                    img_size=224,
                                    transform=TrainTransform(size=224))
         sampler = ShardedSampler(len(dataset), 1, 0, shuffle=True)
