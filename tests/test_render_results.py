@@ -1,0 +1,51 @@
+"""RESULTS.md renderer: all summary variants produce complete markdown."""
+
+import json
+import subprocess
+import sys
+
+CURVE = [{"epoch": 0, "train_loss": 4.0, "test_acc1": 20.0, "test_acc5": 40.0},
+         {"epoch": 1, "train_loss": 3.0, "test_acc1": 30.0, "test_acc5": 55.0}]
+
+BASE = {
+    "supernet_curve": CURVE,
+    "search_best_per_iter": ["iter 0: score=5.3"],
+    "winner_def": "((2,))",
+    "winner_mac": 1_700_000_000,
+    "winner_curve": CURVE,
+    "winner_final_acc1": 30.0,
+}
+
+
+def render(tmp_path, summary):
+    src = tmp_path / "s.json"
+    out = tmp_path / "R.md"
+    src.write_text(json.dumps(summary))
+    subprocess.check_call([sys.executable, "-m",
+                           "vit_search_tpu.tools.render_results",
+                           str(src), str(out)])
+    return out.read_text()
+
+
+def test_minimal_summary_renders(tmp_path):
+    txt = render(tmp_path, BASE)
+    assert "## 1. Supernet training learns" in txt
+    assert "searched winner" in txt and "1.700G" in txt
+    # no control rows/sections without control curves in the summary
+    assert "random (same budget)" not in txt
+    assert "Random-control retrain curve" not in txt
+
+
+def test_full_summary_renders_controls_finetune_eval(tmp_path):
+    s = dict(BASE)
+    for tag in ("random", "worst"):
+        s.update({f"{tag}_def": "((3,))", f"{tag}_mac": 1_750_000_000,
+                  f"{tag}_curve": CURVE, f"{tag}_final_acc1": 25.0})
+    s.update({"finetune_size": 280, "finetune_curve": CURVE,
+              "eval_only": "{'acc1': 30.0}"})
+    txt = render(tmp_path, s)
+    assert "random (same budget)" in txt and "worst (same budget)" in txt
+    assert "Worst-control retrain curve" in txt
+    assert "Higher-resolution finetune" in txt and "280px" in txt
+    assert "Standalone `--eval`" in txt
+    assert "worst network_def" in txt
