@@ -463,3 +463,35 @@ def test_inat_dataset(tmp_path):
     ds_genus = build_dataset(True, data_set="INAT", data_path=str(tmp_path),
                              transform=EvalTransform(16), inat_category="genus")
     assert ds_genus.num_classes == 2
+
+
+def test_loader_process_backend_matches_thread_backend():
+    """Process workers (torch-DataLoader model, reference main.py:291-306)
+    produce bit-identical batches to thread workers, and the stream is
+    independent of worker count (rng is per (seed, epoch, batch))."""
+    from vit_search_tpu.data import DataLoader, ShardedSampler
+    from vit_search_tpu.data.datasets import SyntheticDataset
+    from vit_search_tpu.data.transforms import TrainTransform
+
+    ds = SyntheticDataset(num_classes=4, length=24, img_size=32,
+                          transform=TrainTransform(size=32))
+    sampler = ShardedSampler(len(ds), 1, 0, shuffle=True)
+
+    def batches(backend, workers):
+        loader = DataLoader(ds, sampler, 8, num_workers=workers,
+                            drop_last=True, seed=7, worker_backend=backend)
+        loader.set_epoch(3)
+        return list(loader)
+
+    t1 = batches("thread", 1)
+    t4 = batches("thread", 4)
+    p2 = batches("process", 2)
+    assert len(t1) == 3
+    for (ia, la), (ib, lb), (ic, lc) in zip(t1, t4, p2):
+        np.testing.assert_array_equal(ia, ib)
+        np.testing.assert_array_equal(ia, ic)
+        np.testing.assert_array_equal(la, lb)
+        np.testing.assert_array_equal(la, lc)
+
+    with pytest.raises(ValueError):
+        DataLoader(ds, sampler, 8, worker_backend="greenlet")

@@ -299,3 +299,102 @@ def test_batched_eval_sharded_over_mesh_matches_single_device():
                                        batches, arch_batch=2, mesh=mesh)
     np.testing.assert_allclose(sharded.score(defs), plain.score(defs),
                                rtol=1e-5, atol=1e-4)
+
+
+def test_batched_eval_padded_all_sample():
+    """PaddedEvalLoader + validity weighting scores every image exactly
+    once: a non-divisible sub-val (10 imgs, bs 4) matches a direct
+    all-sample masked eval (reference all-sample padded search eval,
+    datasets.py:154-184 / evo_search.py:189-196)."""
+    import jax
+    import jax.numpy as jnp
+
+    from vit_search_tpu.data import DataLoader, PaddedEvalLoader, ShardedSampler
+    from vit_search_tpu.data.datasets import VisionDataset
+    from vit_search_tpu.models import (SupernetSchedules, VisionTransformerSR,
+                                       build_arch_masks)
+    from vit_search_tpu.search.batched_eval import BatchedSupernetEvaluator
+
+    super_def = ((0, 16),
+                 (1, (16, 4, 4), (16, 32), 1),
+                 (3, 16, 32),
+                 (1, (32, 4, 8), (32, 64), 1),
+                 (2, 32, 10))
+    space = [np.array([16, 8]),
+             {"attn": np.array([16, 8]), "mlp": np.array([32, 16]),
+              "layer": None},
+             np.array([32, 16]),
+             {"attn": np.array([32, 16]), "mlp": np.array([64, 32]),
+              "layer": None},
+             None]
+    sub_def = ((0, 8),
+               (1, (8, 2, 4), (8, 16), 1),
+               (3, 8, 16),
+               (1, (16, 2, 8), (16, 32), 1),
+               (2, 16, 10))
+
+    rng = np.random.default_rng(1)
+    all_images = rng.normal(size=(10, 28, 28, 3)).astype(np.float32)
+    all_labels = rng.integers(0, 10, size=(10,)).astype(np.int32)
+
+    class ArrayDataset(VisionDataset):
+        num_classes = 10
+
+        def __len__(self):
+            return len(all_images)
+
+        def load(self, index, rng):
+            return all_images[index], int(all_labels[index])
+
+    model = VisionTransformerSR(network_def=super_def, img_size=28,
+                                patch_size=7, num_classes=10)
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.asarray(all_images))["params"]
+    schedules = SupernetSchedules(super_def, space, example_per_arch=1,
+                                  num_warmup_epochs=0, arch_mode="multi")
+    defs = [super_def, sub_def]
+
+    sampler = ShardedSampler(10, 1, 0, shuffle=False)
+    assert sampler.num_valid_samples == 10
+    loader = PaddedEvalLoader(
+        DataLoader(ArrayDataset(), sampler, 4, num_workers=1,
+                   drop_last=False), sampler.num_valid_samples)
+    batches = list(loader)
+    assert [b[0].shape[0] for b in batches] == [4, 4, 4]  # static shapes
+    assert [int(b[2].sum()) for b in batches] == [4, 4, 2]  # tail dedup
+
+    ev = BatchedSupernetEvaluator(model, params, None, schedules, loader,
+                                  arch_batch=2)
+
+    def direct(d):
+        counts = schedules.counts_for_subnets([d])
+        per_ex = {"embed": None if counts["embed"] is None
+                  else np.repeat(counts["embed"], 10),
+                  "slots": {s: {k: np.repeat(v, 10)
+                                for k, v in site.items()}
+                            for s, site in counts["slots"].items()}}
+        masks = build_arch_masks(jax.tree.map(jnp.asarray, per_ex),
+                                 super_def, 10)
+        pred = model.apply({"params": params}, jnp.asarray(all_images),
+                           masks, deterministic=True)
+        return float((jnp.argmax(pred, -1)
+                      == jnp.asarray(all_labels)).mean()) * 100.0
+
+    np.testing.assert_allclose(ev.score(defs), [direct(d) for d in defs],
+                               atol=1e-4)
+
+
+def test_sharded_sampler_valid_counts_cover_dataset_once():
+    """Across ranks, num_valid_samples partitions the dataset exactly."""
+    from vit_search_tpu.data import ShardedSampler
+
+    for n, reps in [(10, 4), (9, 2), (7, 3), (8, 1), (3, 4)]:
+        samplers = [ShardedSampler(n, reps, r, shuffle=False)
+                    for r in range(reps)]
+        assert sum(s.num_valid_samples for s in samplers) == n
+        for s in samplers:
+            shard = list(iter(s))
+            # the leading num_valid_samples entries are the real images
+            start = s.rank * s.num_samples
+            expect = list(range(start, min(start + s.num_samples, n)))
+            assert shard[:s.num_valid_samples] == expect

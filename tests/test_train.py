@@ -329,3 +329,42 @@ def test_prefetch_to_mesh_order_and_sharding():
     assert len(out) == 2
     # empty stream
     assert list(prefetch_to_mesh([], mesh)) == []
+
+
+def test_lr_schedule_step_tanh_and_loud_failure():
+    """--sched step/tanh follow timm 0.3.2 semantics; anything else
+    (incl. timm's metric-driven 'plateau') raises instead of silently
+    training with cosine (reference main.py:110,388 routes --sched
+    through timm create_scheduler)."""
+    import math
+
+    from vit_search_tpu.train import OptimConfig
+    from vit_search_tpu.train.optim import timm_epoch_lrs
+
+    base = dict(base_lr=5e-4, global_batch_size=512, warmup_epochs=2,
+                warmup_lr=1e-6, min_lr=1e-5, epochs=90)
+
+    # step: peak * 0.1^(t // 30) after warmup; warmup epochs count toward t
+    lrs = timm_epoch_lrs(OptimConfig(**base, sched="step",
+                                     decay_epochs=30, decay_rate=0.1))
+    assert lrs[0] == pytest.approx(1e-6)
+    assert lrs[2] == pytest.approx(5e-4)          # t=2 -> 2//30 == 0
+    assert lrs[29] == pytest.approx(5e-4)
+    assert lrs[30] == pytest.approx(5e-5)
+    assert lrs[60] == pytest.approx(5e-6)
+    assert lrs[89] == pytest.approx(5e-6)
+
+    # tanh: timm 0.3.2 TanhLRScheduler lb=-6, ub=4
+    lrs = timm_epoch_lrs(OptimConfig(**base, sched="tanh"))
+    t, epochs = 45, 90
+    tr = t / epochs
+    expect = 1e-5 + 0.5 * (5e-4 - 1e-5) * (
+        1.0 - math.tanh(-6.0 * (1.0 - tr) + 4.0 * tr))
+    assert lrs[t] == pytest.approx(expect)
+    assert lrs[2] == pytest.approx(5e-4, rel=1e-2)   # tanh(-6) ~ -1
+    assert lrs[89] < 2e-5                            # decays toward min
+    assert all(a >= b - 1e-12 for a, b in zip(lrs[2:], lrs[3:]))  # monotone
+
+    for bad in ("plateau", "multistep", "poly"):
+        with pytest.raises(ValueError, match="sched"):
+            timm_epoch_lrs(OptimConfig(**base, sched=bad))

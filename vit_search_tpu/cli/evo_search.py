@@ -102,8 +102,14 @@ def main(args) -> dict:
                                      transform=eval_transform, use_holdout=True)
     sampler = data.ShardedSampler(len(dataset_val), parallel.process_count(),
                                   jax.process_index(), shuffle=False)
-    loader = data.DataLoader(dataset_val, sampler, args.val_bs,
-                             num_workers=args.num_workers, drop_last=True)
+    # All-sample padded eval: every holdout image scores exactly once for
+    # every candidate (reference datasets.py:154-184 pads so all ranks see
+    # equal batches and all images are scored; our validity mask
+    # additionally de-duplicates the padding rows)
+    loader = data.PaddedEvalLoader(
+        data.DataLoader(dataset_val, sampler, args.val_bs,
+                        num_workers=args.num_workers, drop_last=False),
+        sampler.num_valid_samples)
     if args.max_eval_batches:
         full_loader = loader
 

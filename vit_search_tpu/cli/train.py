@@ -151,6 +151,12 @@ def get_args_parser() -> argparse.ArgumentParser:
     parser.add_argument("--no-bf16", action="store_false", dest="bf16")
     parser.add_argument("--max-steps-per-epoch", default=None, type=int,
                         help="truncate epochs (smoke tests)")
+    parser.add_argument("--loader-backend", default=None,
+                        choices=["thread", "process"],
+                        help="data-loader worker backend (default: thread, "
+                             "or VST_LOADER_BACKEND); 'process' scales host "
+                             "decode past the GIL like torch DataLoader "
+                             "workers (reference main.py:291-306)")
     parser.add_argument("--profile-dir", default=None, type=str,
                         help="capture a jax.profiler trace of early steps")
     parser.add_argument("--profile-steps", default=8, type=int)
@@ -230,10 +236,12 @@ def main(args) -> dict:
 
     loader_train = data.DataLoader(dataset_train, train_sampler, args.batch_size,
                                    num_workers=args.num_workers, drop_last=True,
-                                   seed=args.seed)
+                                   seed=args.seed,
+                                   worker_backend=args.loader_backend)
     loader_val = data.DataLoader(dataset_val, val_sampler, args.val_bs,
                                  num_workers=args.num_workers, drop_last=False,
-                                 seed=args.seed)
+                                 seed=args.seed,
+                                 worker_backend=args.loader_backend)
 
     # --- model -----------------------------------------------------------
     dtype = jnp.bfloat16 if args.bf16 else jnp.float32
@@ -299,7 +307,8 @@ def main(args) -> dict:
         beta1=betas[0], beta2=betas[1], eps=args.opt_eps,
         lr_noise=args.lr_noise, lr_noise_pct=args.lr_noise_pct,
         lr_noise_std=args.lr_noise_std, seed=args.seed,
-        cooldown_epochs=args.cooldown_epochs)
+        cooldown_epochs=args.cooldown_epochs, sched=args.sched,
+        decay_epochs=args.decay_epochs, decay_rate=args.decay_rate)
     tx = train.make_optimizer(ocfg, params)
     state = train.TrainState.create(params, tx, batch_stats,
                                     use_ema=args.model_ema)
@@ -324,7 +333,7 @@ def main(args) -> dict:
         raise ValueError("--input-size must equal 56 * --mixup-patch-len "
                          "(reference README constraint)")
 
-    schedule = train.cosine_schedule(ocfg)
+    schedule = train.lr_schedule(ocfg)
     train_step = train.make_train_step(
         model, tx, tcfg, teacher_apply=teacher_apply, schedule=schedule,
         donate=True,
@@ -357,12 +366,29 @@ def main(args) -> dict:
 
     def run_eval(params_tree):
         logger_eval = utils.MetricLogger(logger=logger)
-        totals = None
+        # Metric sums stay on device; the host fetches every EVAL_SYNC_EVERY
+        # batches (bounds the async queue over remote backends) and once at
+        # the end — not one blocking round-trip per batch (the reference's
+        # prefetch-eval intent, engine.py:194-261).
+        sync_every = int(os.environ.get("EVAL_SYNC_EVERY", "10"))
+        totals: dict = {}
+        device_acc, pending = None, 0
+
+        def drain(acc):
+            for k, v in acc.items():
+                totals[k] = totals.get(k, 0.0) + float(v)
+
         for images, labels in parallel.prefetch_to_mesh(loader_val, mesh):
             m = eval_step(params_tree, state.batch_stats, images, labels, eval_counts)
-            m = {k: float(v) for k, v in m.items()}
-            totals = m if totals is None else {k: totals[k] + m[k] for k in m}
-        if totals is None:
+            device_acc = m if device_acc is None else \
+                jax.tree.map(jnp.add, device_acc, m)
+            pending += 1
+            if pending >= sync_every:
+                drain(device_acc)
+                device_acc, pending = None, 0
+        if device_acc is not None:
+            drain(device_acc)
+        if not totals:
             return {}
         count = max(totals.pop("count"), 1.0)
         stats = {("acc1" if k == "top1" else "acc5" if k == "top5" else k):

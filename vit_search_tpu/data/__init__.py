@@ -4,7 +4,7 @@ from . import datasets, erasing, loader, mixup, samplers, subset, transforms
 from .datasets import (CIFAR100Dataset, ImageFolderDataset, INatDataset,
                        SyntheticDataset, build_dataset)
 from .erasing import random_erasing
-from .loader import DataLoader, normalize_images
+from .loader import DataLoader, PaddedEvalLoader, normalize_images
 from .samplers import RepeatedAugmentSampler, ShardedSampler
 from .subset import build_subsets, convert_reference_pickle, select_holdout
 from .transforms import (EvalTransform, IMAGENET_MEAN, IMAGENET_STD,
@@ -13,6 +13,7 @@ from .transforms import (EvalTransform, IMAGENET_MEAN, IMAGENET_STD,
 __all__ = [
     "CIFAR100Dataset",
     "DataLoader",
+    "PaddedEvalLoader",
     "EvalTransform",
     "IMAGENET_MEAN",
     "IMAGENET_STD",

@@ -1,30 +1,67 @@
 """Batched, prefetching data loader.
 
 TPU replacement for the reference's torch DataLoader + timm PrefetchLoader
-stack (main.py:291-306, datasets.py:144-184): worker threads decode and
-augment (PIL releases the GIL in its C codecs), batches are assembled as
-uint8 HWC numpy arrays — 4x smaller host->HBM transfers than float32; the
-normalization runs on device — and a bounded queue keeps a configurable
-number of batches in flight ahead of the step loop (double buffering).
+stack (main.py:291-306, datasets.py:144-184): workers decode and augment,
+batches are assembled as uint8 HWC numpy arrays — 4x smaller host->HBM
+transfers than float32; the normalization runs on device — and a bounded
+queue keeps a configurable number of batches in flight ahead of the step
+loop (double buffering).
+
+Two worker backends (``worker_backend`` / ``VST_LOADER_BACKEND``):
+
+- ``thread`` (default): PIL releases the GIL in its C codecs, but the
+  numpy conversions/affines and ``np.stack`` serialize on the GIL — fine
+  up to a few cores of decode work.
+- ``process``: forked worker processes, the torch-DataLoader model the
+  reference relies on (main.py:291-306).  Scales host decode past the
+  GIL on many-core TPU hosts.  Workers only touch numpy/PIL (never the
+  accelerator runtime), the same constraint torch imposes on its fork
+  workers.
+
+Augmentation randomness is seeded per (seed, epoch, batch_index), so the
+sample stream is bit-identical across worker counts AND backends.
 
 ``drop_last`` semantics match the torch train loader; eval keeps the tail.
 """
 
 from __future__ import annotations
 
+import multiprocessing
+import os
 import queue
 import threading
-from typing import Iterable, Iterator, Tuple
+from typing import Iterable, Iterator, List, Tuple
 
 import numpy as np
 
 from .datasets import VisionDataset
 
 
+def _load_batch(dataset, seed, epoch, bi, batch_indices):
+    """Decode+augment one batch; rng depends only on (seed, epoch, bi)."""
+    rng = np.random.default_rng((seed, epoch, bi))
+    images, labels = [], []
+    for idx in batch_indices:
+        img, label = dataset.load(idx, rng)
+        images.append(img)
+        labels.append(label)
+    return np.stack(images), np.asarray(labels, np.int32)
+
+
+def _process_worker(dataset, seed, epoch, job_q, res_q):
+    while True:
+        job = job_q.get()
+        if job is None:
+            return
+        bi, batch_indices = job
+        res_q.put((bi, *_load_batch(dataset, seed, epoch, bi, batch_indices)))
+
+
 class DataLoader:
     def __init__(self, dataset: VisionDataset, sampler: Iterable[int],
                  batch_size: int, num_workers: int = 4, drop_last: bool = True,
-                 prefetch_batches: int = 2, seed: int = 0):
+                 prefetch_batches: int = 2, seed: int = 0,
+                 worker_backend: str = None):
         self.dataset = dataset
         self.sampler = sampler
         self.batch_size = batch_size
@@ -33,6 +70,12 @@ class DataLoader:
         self.prefetch_batches = prefetch_batches
         self.seed = seed
         self.epoch = 0
+        self.worker_backend = (worker_backend
+                               or os.environ.get("VST_LOADER_BACKEND")
+                               or "thread")
+        if self.worker_backend not in ("thread", "process"):
+            raise ValueError(f"unknown worker_backend "
+                             f"{self.worker_backend!r}")
 
     def set_epoch(self, epoch: int) -> None:
         self.epoch = epoch
@@ -49,6 +92,9 @@ class DataLoader:
                    for i in range(0, len(indices), self.batch_size)]
         if self.drop_last:
             batches = [b for b in batches if len(b) == self.batch_size]
+        if self.worker_backend == "process":
+            yield from self._iter_processes(batches)
+            return
 
         out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch_batches)
         job_q: "queue.Queue" = queue.Queue()
@@ -65,8 +111,6 @@ class DataLoader:
         backlog_free = threading.Condition()
 
         def worker(worker_id: int):
-            rng = np.random.default_rng(
-                (self.seed, self.epoch, worker_id))
             while not stop.is_set():
                 with backlog_free:
                     while (len(results) >= backlog_limit
@@ -76,12 +120,8 @@ class DataLoader:
                     bi, batch_indices = job_q.get_nowait()
                 except queue.Empty:
                     return
-                images, labels = [], []
-                for idx in batch_indices:
-                    img, label = self.dataset.load(idx, rng)
-                    images.append(img)
-                    labels.append(label)
-                item = (np.stack(images), np.asarray(labels, np.int32))
+                item = _load_batch(self.dataset, self.seed, self.epoch,
+                                   bi, batch_indices)
                 with results_ready:
                     results[bi] = item
                     results_ready.notify_all()
@@ -127,6 +167,86 @@ class DataLoader:
                     job_q.get_nowait()
                 except queue.Empty:
                     break
+
+
+    def _iter_processes(self, batches: List[List[int]]):
+        """Forked worker processes (torch-DataLoader model).
+
+        Jobs are dealt in order; finished batches come back through a
+        bounded queue (at most ``prefetch_batches + num_workers`` batches
+        in flight, so a slow consumer bounds worker memory) and are
+        re-sequenced here.  ``fork`` inherits the dataset without
+        pickling; workers run only ``dataset.load`` (numpy/PIL).
+        """
+        ctx = multiprocessing.get_context("fork")
+        job_q = ctx.Queue()
+        res_q = ctx.Queue(maxsize=self.prefetch_batches + self.num_workers)
+        for i, b in enumerate(batches):
+            job_q.put((i, b))
+        for _ in range(self.num_workers):
+            job_q.put(None)
+        procs = [ctx.Process(target=_process_worker,
+                             args=(self.dataset, self.seed, self.epoch,
+                                   job_q, res_q), daemon=True)
+                 for _ in range(self.num_workers)]
+        for p in procs:
+            p.start()
+        buffered = {}
+        next_bi = 0
+        try:
+            while next_bi < len(batches):
+                bi, images, labels = res_q.get()
+                buffered[bi] = (images, labels)
+                while next_bi in buffered:
+                    yield buffered.pop(next_bi)
+                    next_bi += 1
+        finally:
+            for p in procs:
+                p.terminate()
+            for p in procs:
+                p.join(timeout=5)
+
+
+class PaddedEvalLoader:
+    """All-sample eval stream with static batch shapes.
+
+    Wraps an eval ``DataLoader`` (``drop_last=False``) over an ordered
+    shard and yields ``(images, labels, valid)`` where every batch is
+    padded to exactly ``batch_size`` rows (tail rows repeat the last real
+    example) and ``valid`` is a float32 per-row mask that zeroes both the
+    intra-batch tail padding and the sampler's cross-shard padding
+    (``ShardedSampler.num_valid_samples``).  Downstream weighted-correct
+    accounting then scores every dataset image exactly once across
+    processes while every compiled program sees one static batch shape —
+    the TPU counterpart of the reference's padded ``
+    OrderedDistributedSampler`` + prefetch eval (datasets.py:154-184,
+    driven by evo_search.py:189-196), minus its counted-duplicates bias.
+    """
+
+    def __init__(self, loader: "DataLoader", num_valid_samples: int):
+        if loader.drop_last:
+            raise ValueError("PaddedEvalLoader needs drop_last=False")
+        self.loader = loader
+        self.num_valid = int(num_valid_samples)
+        self.batch_size = loader.batch_size
+
+    def __len__(self) -> int:
+        return len(self.loader)
+
+    def __iter__(self):
+        seen = 0
+        for images, labels in self.loader:
+            b = images.shape[0]
+            valid = (np.arange(seen, seen + b) < self.num_valid)
+            seen += b
+            if b < self.batch_size:
+                pad = self.batch_size - b
+                images = np.concatenate(
+                    [images, np.repeat(images[-1:], pad, axis=0)], axis=0)
+                labels = np.concatenate(
+                    [labels, np.repeat(labels[-1:], pad, axis=0)], axis=0)
+                valid = np.concatenate([valid, np.zeros(pad, bool)])
+            yield images, labels, valid.astype(np.float32)
 
 
 def normalize_images(images, mean, std):

@@ -80,6 +80,21 @@ class ShardedSampler:
     def __len__(self) -> int:
         return self.num_samples
 
+    @property
+    def num_valid_samples(self) -> int:
+        """Leading entries of this (ordered) shard that are real dataset
+        images rather than cross-shard padding.  The ordered shard is the
+        contiguous chunk ``[rank*num_samples, (rank+1)*num_samples)`` of
+        the padded index list, so padding occupies exactly the positions
+        past ``dataset_len``.  Lets eval score every image exactly once
+        across processes (vs the reference's counted-duplicates tail,
+        timm OrderedDistributedSampler via datasets.py:154-184)."""
+        if self.shuffle:
+            raise ValueError("num_valid_samples is defined for ordered "
+                             "(eval) shards only")
+        start = self.rank * self.num_samples
+        return max(0, min(self.num_samples, self.dataset_len - start))
+
     def __iter__(self) -> Iterator[int]:
         if self.shuffle:
             indices = list(np.random.default_rng(self.epoch)

@@ -35,6 +35,11 @@ import jax.numpy as jnp
 # the reference numerics and the fallback for unsupported shapes.
 _USE_PALLAS = os.environ.get("VST_PALLAS_LN", "0") == "1"
 
+# One-pass Pallas statistics kernel (sum, sumsq from one HBM read of x),
+# leaving the normalize/mask multiplies to XLA so the surrounding fusions
+# survive — the narrow attack on the stat-reduction cost (PERF.md round 3).
+_USE_PALLAS_STATS = os.environ.get("VST_PALLAS_LN_STATS", "0") == "1"
+
 
 def masked_layer_norm(x: jnp.ndarray, weight: jnp.ndarray, bias: jnp.ndarray,
                       mask: Optional[jnp.ndarray], eps: float = 1e-6) -> jnp.ndarray:
@@ -72,6 +77,19 @@ def masked_layer_norm(x: jnp.ndarray, weight: jnp.ndarray, bias: jnp.ndarray,
 
     maskf = mask.astype(jnp.float32)
     inv_p = 1.0 / jnp.mean(maskf, axis=-1, keepdims=True)
+    if _USE_PALLAS_STATS and x.ndim == 3:
+        from .pallas.stats import row_sum_sumsq
+        from .pallas.stats import supported as stats_supported
+
+        if stats_supported(x):
+            inv_c = 1.0 / x.shape[-1]
+            s1, s2 = row_sum_sumsq(x)
+            mu = s1[..., None] * (inv_p * inv_c)
+            x2 = s2[..., None] * (inv_p * inv_c)
+            var = x2 - jnp.square(mu)
+            z = (xf - mu) / jnp.sqrt(var + eps)
+            y = w * z + b
+            return (y * maskf).astype(dtype)
     mu = jnp.mean(xf, axis=-1, keepdims=True) * inv_p
     x2 = jnp.mean(jnp.square(xf), axis=-1, keepdims=True) * inv_p
     var = x2 - jnp.square(mu)

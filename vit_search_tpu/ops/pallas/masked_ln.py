@@ -188,4 +188,5 @@ def supported(x: Array, mask: Optional[Array]) -> bool:
     if mask is None or x.ndim != 3 or mask.ndim != 3:
         return False
     c = x.shape[-1]
-    return c % 128 == 0 and mask.shape[0] == x.shape[0] and mask.shape[1] == 1
+    return (c % 128 == 0 and mask.shape[0] == x.shape[0]
+            and mask.shape[1] == 1 and mask.shape[-1] == c)

@@ -54,7 +54,7 @@ def make_tiled_correct_step(model, score_head: str = "cls"):
         raise ValueError(f"score head {score_head!r} needs a distill-token "
                          f"supernet")
 
-    def step(params, batch_stats, images, labels, counts):
+    def step(params, batch_stats, images, labels, valid, counts):
         variables = {"params": params}
         if batch_stats:
             variables["batch_stats"] = batch_stats
@@ -78,7 +78,12 @@ def make_tiled_correct_step(model, score_head: str = "cls"):
             pred = (jax.nn.softmax(outputs[0].astype(jnp.float32), axis=-1)
                     + jax.nn.softmax(outputs[1].astype(jnp.float32), axis=-1))
         correct = (jnp.argmax(pred, axis=-1) == labels_t).astype(jnp.float32)
-        return correct.reshape(a, b).sum(axis=1)
+        # weight by per-example validity so batch/shard padding rows score 0
+        correct = correct * jnp.tile(valid.astype(jnp.float32), a)
+        # valid is mesh-sharded like the batch, so this sum is the GLOBAL
+        # number of real rows this batch contributes (exact across hosts
+        # with unequal shard tails)
+        return correct.reshape(a, b).sum(axis=1), jnp.sum(valid)
 
     return jax.jit(step)
 
@@ -125,19 +130,42 @@ class BatchedSupernetEvaluator:
                   "slots": {slot: {k: jnp.asarray(v) for k, v in site.items()}
                             for slot, site in counts["slots"].items()}}
         correct = np.zeros(a, dtype=np.float64)
-        total = 0
-        for images, labels in self.loader:
-            b = images.shape[0]
+        total = 0.0
+        # Per-candidate correct counts and the valid-row total accumulate
+        # on device; the host drains every `sync_every` batches (bounds the
+        # async queue over remote backends) instead of one blocking
+        # round-trip per batch.
+        device_acc, pending = None, 0
+        sync_every = 10
+
+        def drain(acc):
+            nonlocal correct, total
+            correct += np.asarray(acc[0], dtype=np.float64)
+            total += float(acc[1])
+
+        for batch in self.loader:
+            images, labels = batch[0], batch[1]
+            valid = (batch[2] if len(batch) > 2
+                     else np.ones(images.shape[0], np.float32))
             if self.mesh is not None:
-                images, labels = shard_batch(self.mesh, (images, labels))
-                b *= jax.process_count()  # loader shard -> global batch rows
+                images, labels, valid = shard_batch(
+                    self.mesh, (images, labels, valid))
             else:
-                images, labels = jnp.asarray(images), jnp.asarray(labels)
-            per_candidate = self._step(self.params, self.batch_stats,
-                                       images, labels, counts)
-            correct += np.asarray(per_candidate, dtype=np.float64)
-            total += b
-        return correct / max(total, 1) * 100.0
+                images, labels, valid = (jnp.asarray(images),
+                                         jnp.asarray(labels),
+                                         jnp.asarray(valid))
+            per_candidate, valid_sum = self._step(
+                self.params, self.batch_stats, images, labels, valid, counts)
+            device_acc = ((per_candidate, valid_sum) if device_acc is None
+                          else (device_acc[0] + per_candidate,
+                                device_acc[1] + valid_sum))
+            pending += 1
+            if pending >= sync_every:
+                drain(device_acc)
+                device_acc, pending = None, 0
+        if device_acc is not None:
+            drain(device_acc)
+        return correct / max(total, 1.0) * 100.0
 
     def score(self, network_defs: Sequence) -> List[float]:
         """Top-1 accuracy (%) on the sub-val set for each candidate.

@@ -77,6 +77,18 @@ def main():
     p.add_argument("--retrain-epochs", type=int, default=15)
     p.add_argument("--search-iters", type=int, default=5)
     p.add_argument("--popu", type=int, default=100)
+    p.add_argument("--parent-size", type=int, default=None,
+                   help="evolver parents (default popu//5; published "
+                        "budget uses 75 with popu 500)")
+    p.add_argument("--mutate-size", type=int, default=None,
+                   help="mutations (and crossovers) per iter "
+                        "(default popu//5; published budget 75)")
+    p.add_argument("--retrain-seeds", default="0",
+                   help="comma list of seeds for winner/control retrains; "
+                        ">1 seed turns the comparison into a per-seed table")
+    p.add_argument("--rankcorr-k", type=int, default=8,
+                   help="candidates retrained by the rankcorr stage "
+                        "(picked across the search-history score range)")
     p.add_argument("--constraint", type=float, default=1.7944e9,
                    help="MAC budget (published tiny: 1.7944G)")
     p.add_argument("--example-per-arch", type=int, default=32)
@@ -90,8 +102,8 @@ def main():
                         "history member)")
     p.add_argument("--stages",
                    default="data,supernet,search,retrain,finetune,eval",
-                   help="comma list; later stages read earlier stages' "
-                        "artifacts from --root")
+                   help="comma list (also: rankcorr); later stages read "
+                        "earlier stages' artifacts from --root")
     args = p.parse_args()
     stages = set(args.stages.split(","))
     if args.skip_generate:
@@ -164,13 +176,9 @@ def main():
             "--constraint-value", str(constraint),
             "--search-iter", str(args.search_iters),
             "--init-popu-size", str(args.popu),
-            "--parent-size", str(max(4, args.popu // 5)),
-            "--mutate-size", str(max(2, args.popu // 5)),
+            "--parent-size", str(args.parent_size or max(4, args.popu // 5)),
+            "--mutate-size", str(args.mutate_size or max(2, args.popu // 5)),
             "--output_dir", search_out], log)
-
-    with open(os.path.join(search_out, "history.csv")) as f:
-        best_line = f.readlines()[1]  # rank 0
-    winner_def = best_line.split('"')[1]
 
     from vit_search_tpu.arch import (ComputationEstimator, get_space,
                                      parse_network_def)
@@ -178,13 +186,48 @@ def main():
     est = ComputationEstimator(distill=False,
                                input_resolution=args.input_size,
                                patch_size=14)
-    summary = {
-        "supernet_curve": read_curve(supernet_out),
-        "search_best_per_iter": open(
-            os.path.join(search_out, "summary.txt")).read().splitlines(),
-        "winner_def": winner_def,
-        "winner_mac": int(est(parse_network_def(winner_def))),
-    }
+    summary = {}
+    supernet_curve = read_curve(supernet_out)
+    if supernet_curve:  # don't clobber a good curve after log cleanup
+        summary["supernet_curve"] = supernet_curve
+
+    # Search-dependent stages need the search artifacts; an early-stage-only
+    # run (e.g. --stages supernet) still writes its partial summary.
+    history_path = os.path.join(search_out, "history.csv")
+    winner_def = None
+    if os.path.exists(history_path):
+        with open(history_path) as f:
+            history_lines = f.readlines()[1:]  # rank order, best first
+        winner_def = history_lines[0].split('"')[1]
+        summary.update({
+            "search_best_per_iter": open(
+                os.path.join(search_out, "summary.txt")).read().splitlines(),
+            "winner_def": winner_def,
+            "winner_mac": int(est(parse_network_def(winner_def))),
+        })
+    needs_search = stages & {"search", "retrain", "rankcorr", "finetune",
+                             "eval"}
+    if winner_def is None and needs_search:
+        raise FileNotFoundError(
+            f"{history_path} missing but stages {sorted(needs_search)} need "
+            f"it; run the search stage first")
+
+    seeds = [int(s) for s in str(args.retrain_seeds).split(",")]
+
+    def retrain(tag, net, seed, epochs=None):
+        """One searched-net-recipe retrain; returns its curve."""
+        out = os.path.join(root, f"retrain_{tag}" if seed == seeds[0]
+                           else f"retrain_{tag}_s{seed}")
+        # common carries --seed 0; substitute this job's seed
+        seeded = list(common)
+        seeded[seeded.index("--seed") + 1] = str(seed)
+        sh([sys.executable, "-m", "vit_search_tpu.cli.train",
+            "--model", "flexible_vit_sr_patch14_224_patch_output",
+            "--network-def", net, "--use-patch-mixup",
+            "--drop-path", "0.1", "--no-model-ema",
+            "--epochs", str(epochs or args.retrain_epochs),
+            "--warmup-epochs", "2", "--output_dir", out, *seeded], log)
+        return read_curve(out)
 
     if "retrain" in stages:
         # 4) the controls: a random candidate at the same MAC budget, and
@@ -195,7 +238,8 @@ def main():
 
         import numpy as np
 
-        controls = args.controls.split(",") if args.controls else []
+        controls = [c for c in args.controls.split(",") if c] \
+            if args.controls else []
         jobs = [("winner", winner_def)]
         if "random" in controls:
             rng = np.random.default_rng(12345)
@@ -204,32 +248,74 @@ def main():
                 constraint, est, rng=rng))
             jobs.append(("random", random_def))
         if "worst" in controls:
-            with open(os.path.join(search_out, "history.csv")) as f:
-                worst_def = f.readlines()[-1].split('"')[1]
+            worst_def = history_lines[-1].split('"')[1]
             jobs.append(("worst", worst_def))
         for tag, net in jobs[1:]:
             print(f"winner MAC={est(parse_network_def(winner_def))}, "
                   f"{tag} MAC={est(parse_network_def(net))}", flush=True)
 
-        # 5) retrain all with the identical searched-net recipe
-        curves = {}
+        # 5) retrain all with the identical searched-net recipe, once per
+        # seed (seed moves both the init and the data order)
         for tag, net in jobs:
-            out = os.path.join(root, f"retrain_{tag}")
-            sh([sys.executable, "-m", "vit_search_tpu.cli.train",
-                "--model", "flexible_vit_sr_patch14_224_patch_output",
-                "--network-def", net, "--use-patch-mixup",
-                "--drop-path", "0.1", "--no-model-ema",
-                "--epochs", str(args.retrain_epochs), "--warmup-epochs", "2",
-                "--output_dir", out, *common], log)
-            curves[tag] = read_curve(out)
+            finals = {}
+            for seed in seeds:
+                curve = retrain(tag, net, seed)
+                finals[seed] = curve[-1]["test_acc1"]
+                if seed == seeds[0]:
+                    summary[f"{tag}_curve"] = curve
+                    summary[f"{tag}_final_acc1"] = finals[seed]
+            if tag != "winner":
+                summary[f"{tag}_def"] = net
+                summary[f"{tag}_mac"] = int(est(parse_network_def(net)))
+            if len(seeds) > 1:
+                summary[f"{tag}_final_acc1_by_seed"] = finals
 
-        summary["winner_curve"] = curves["winner"]
-        summary["winner_final_acc1"] = curves["winner"][-1]["test_acc1"]
-        for tag, net in jobs[1:]:
-            summary[f"{tag}_def"] = net
-            summary[f"{tag}_mac"] = int(est(parse_network_def(net)))
-            summary[f"{tag}_curve"] = curves[tag]
-            summary[f"{tag}_final_acc1"] = curves[tag][-1]["test_acc1"]
+    if "rankcorr" in stages:
+        # 6) fitness-vs-retrained-accuracy rank correlation: retrain K
+        # candidates spread across the search history's score range and
+        # compute Kendall tau between supernet holdout fitness and final
+        # retrained accuracy.
+        rows = []
+        for line in history_lines:
+            rank = int(line.split(",")[0])
+            score = float(line.split(",")[1])
+            rows.append((rank, score, line.split('"')[1]))
+        k = min(args.rankcorr_k, len(rows))
+        picks = [rows[round(i * (len(rows) - 1) / (k - 1))]
+                 for i in range(k)] if k > 1 else rows[:1]
+        # dedupe (rounding can collide on short histories)
+        seen, chosen = set(), []
+        for r in picks:
+            if r[0] not in seen:
+                seen.add(r[0])
+                chosen.append(r)
+        entries = []
+        for rank, score, net in chosen:
+            curve = retrain(f"rc{rank}", net, seeds[0])
+            entries.append({"history_rank": rank, "fitness": score,
+                            "mac": int(est(parse_network_def(net))),
+                            "retrained_acc1": curve[-1]["test_acc1"],
+                            "network_def": net})
+            print(f"rankcorr: rank={rank} fitness={score:.3f} "
+                  f"-> acc1={entries[-1]['retrained_acc1']:.2f}", flush=True)
+        n = len(entries)
+        concordant = discordant = 0
+        for i in range(n):
+            for j in range(i + 1, n):
+                df = entries[i]["fitness"] - entries[j]["fitness"]
+                da = entries[i]["retrained_acc1"] - entries[j]["retrained_acc1"]
+                prod = df * da
+                if prod > 0:
+                    concordant += 1
+                elif prod < 0:
+                    discordant += 1
+        pairs = n * (n - 1) // 2
+        summary["rankcorr"] = {
+            "entries": entries,
+            "kendall_tau": ((concordant - discordant) / pairs
+                            if pairs else None),
+            "concordant": concordant, "discordant": discordant,
+        }
 
     # 6) higher-resolution finetune of the retrained winner: pos-embed
     # interpolation at the next 56-multiple (reference workload #4;
@@ -271,6 +357,15 @@ def main():
     if os.path.exists(summary_path):
         with open(summary_path) as f:
             existing = json.load(f)
+    if "retrain" in stages:
+        # a rerun with different --controls must not leave the previous
+        # run's control keys behind (render_results would still show them)
+        controls_now = set(args.controls.split(",")) if args.controls else set()
+        for tag in ("random", "worst"):
+            if tag not in controls_now:
+                for key in list(existing):
+                    if key.startswith(f"{tag}_"):
+                        del existing[key]
     existing.update(summary)
     summary = existing
     with open(summary_path, "w") as f:

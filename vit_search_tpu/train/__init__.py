@@ -7,7 +7,8 @@ from .engine import (TrainConfig, make_eval_step,
 from .losses import (cross_entropy, distillation_loss,
                      label_smoothing_cross_entropy, soft_target_cross_entropy,
                      top_k_correct)
-from .optim import OptimConfig, cosine_schedule, make_optimizer, weight_decay_mask
+from .optim import (OptimConfig, cosine_schedule, lr_schedule,
+                    make_optimizer, weight_decay_mask)
 from .state import TrainState, ema_update
 
 __all__ = [
@@ -17,6 +18,7 @@ __all__ = [
     "TrainState",
     "checkpoint",
     "cosine_schedule",
+    "lr_schedule",
     "cross_entropy",
     "distillation_loss",
     "ema_update",

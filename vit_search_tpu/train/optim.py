@@ -61,6 +61,13 @@ class OptimConfig:
     # Parsed for parity only: the reference discards create_scheduler's
     # cooldown-adjusted epoch count (main.py:388) so cooldown never runs.
     cooldown_epochs: int = 10
+    # --sched: 'cosine' (every published recipe), 'step', 'tanh'.  timm
+    # 0.3.2 create_scheduler additionally offers 'plateau', which is
+    # metric-driven (stateful on val loss) and unsupported here — it
+    # raises loudly instead of silently training with cosine.
+    sched: str = "cosine"
+    decay_epochs: float = 30.0      # --decay-epochs (step schedule period)
+    decay_rate: float = 0.1         # --decay-rate
 
     @property
     def scaled_lr(self) -> float:
@@ -68,24 +75,48 @@ class OptimConfig:
 
 
 def timm_epoch_lrs(config: OptimConfig) -> np.ndarray:
-    """Per-epoch LRs identical to timm 0.3.2 ``CosineLRScheduler._get_lr``.
+    """Per-epoch LRs identical to timm 0.3.2's schedulers as the reference
+    drives them (``create_scheduler`` main.py:388, ``step(epoch)`` at the
+    top of every epoch main.py:460-462).
 
-    ``t_initial = epochs``, ``t_mul = 1``, ``cycle_limit = 1``,
-    ``warmup_prefix = False`` — the values ``create_scheduler`` passes for
-    the reference's ``--sched cosine`` (reference main.py:110-131,388).
-    Returns one value per training epoch (``range(args.epochs)``,
-    main.py:460-462).
+    ``config.sched`` selects the curve:
+
+    - ``cosine`` — ``CosineLRScheduler`` with ``t_initial = epochs``,
+      ``t_mul = 1``, ``cycle_limit = 1``, ``warmup_prefix = False``
+      (reference main.py:110-131,388); the cosine spans the full range
+      including the warmup epochs.
+    - ``step`` — ``StepLRScheduler``: ``peak * decay_rate ** (t //
+      decay_epochs)`` after warmup (timm 0.3.2 step_lr.py; no min_lr
+      clamp in that scheduler).
+    - ``tanh`` — ``TanhLRScheduler`` with the 0.3.2 defaults ``lb = -6``,
+      ``ub = 4``: ``min_lr + 0.5*(peak-min_lr)*(1 - tanh(lb*(1-tr) +
+      ub*tr))`` with ``tr = t/epochs``.
+
+    Any other value (incl. timm's metric-driven ``plateau``) raises.
+    Returns one value per training epoch (``range(args.epochs)``).
     """
     peak = float(config.scaled_lr)
     epochs = max(1, int(config.epochs))
     warmup_t = int(config.warmup_epochs)
+    sched = config.sched
+    if sched not in ("cosine", "step", "tanh"):
+        raise ValueError(
+            f"--sched {sched!r} is not implemented (supported: cosine, "
+            f"step, tanh; timm's 'plateau' is metric-driven and has no "
+            f"counterpart here). Refusing to silently train with cosine.")
     lrs = np.empty((epochs,), np.float64)
     for t in range(epochs):
         if warmup_t and t < warmup_t:
             lrs[t] = config.warmup_lr + t * (peak - config.warmup_lr) / warmup_t
-        elif t < epochs:  # i = t // t_initial == 0 < cycle_limit
+        elif sched == "cosine":  # i = t // t_initial == 0 < cycle_limit
             lrs[t] = config.min_lr + 0.5 * (peak - config.min_lr) * (
                 1.0 + math.cos(math.pi * t / epochs))
+        elif sched == "step":
+            lrs[t] = peak * config.decay_rate ** (t // config.decay_epochs)
+        else:  # tanh
+            tr = t / epochs
+            lrs[t] = config.min_lr + 0.5 * (peak - config.min_lr) * (
+                1.0 - math.tanh(-6.0 * (1.0 - tr) + 4.0 * tr))
     if config.lr_noise is not None:
         lrs = _apply_timm_lr_noise(lrs, config)
     return lrs
@@ -123,10 +154,10 @@ def _apply_timm_lr_noise(lrs: np.ndarray, config: OptimConfig) -> np.ndarray:
     return out
 
 
-def cosine_schedule(config: OptimConfig) -> optax.Schedule:
-    """Per-step schedule: the timm per-epoch value, constant within an
-    epoch (the reference steps the scheduler once per epoch,
-    main.py:462)."""
+def lr_schedule(config: OptimConfig) -> optax.Schedule:
+    """Per-step schedule: the timm per-epoch value (``config.sched``
+    curve), constant within an epoch (the reference steps the scheduler
+    once per epoch, main.py:462)."""
     lrs = jnp.asarray(timm_epoch_lrs(config), jnp.float32)
     spe = max(1, int(config.steps_per_epoch))
     last = len(lrs) - 1
@@ -136,6 +167,10 @@ def cosine_schedule(config: OptimConfig) -> optax.Schedule:
         return lrs[epoch]
 
     return schedule
+
+
+# Historical name from when only the cosine curve existed.
+cosine_schedule = lr_schedule
 
 
 def weight_decay_mask(params: Any) -> Any:
@@ -150,7 +185,7 @@ def weight_decay_mask(params: Any) -> Any:
 
 
 def make_optimizer(config: OptimConfig, params: Any) -> optax.GradientTransformation:
-    schedule = cosine_schedule(config)
+    schedule = lr_schedule(config)
     tx = optax.adamw(schedule, b1=config.beta1, b2=config.beta2, eps=config.eps,
                      weight_decay=config.weight_decay,
                      mask=weight_decay_mask(params))
