@@ -134,15 +134,23 @@ def _bwd_kernel_qkv(qkv_ref, do_ref, dqkv_ref, *, scale: float,
         dqkv_ref[:, :, vsl] = dv.astype(dqkv_ref.dtype)
 
 
-def _pick_group(b: int, n: int, width: int, score_tiles: int) -> int:
-    """Batch rows per grid cell under a VMEM budget.
+def _pick_group(b: int, n: int, width: int, score_tiles: int,
+                io_rows: int, itemsize: int = 2) -> int:
+    """Batch rows per grid cell under a VMEM budget (v5e: ~16 MB/core).
 
-    ``score_tiles`` counts live (n, n) f32 temporaries per head (fwd: s/p;
-    bwd adds dp/ds); the packed row tensors add 8*n*width bytes (bf16/f32
-    mix, counted at 4B for headroom).
+    ``score_tiles`` counts MAX-LIVE (n, n) f32 temporaries per head — the
+    per-head dots are sequential, so fwd holds s/p (2) and bwd p/dp/ds (3;
+    s's buffer is dead once p exists).  ``io_rows`` counts width-columns of
+    I/O blocks (double-buffered by the pipeline, hence the factor 2):
+    fwd qkv-in + o-out = 4, bwd qkv-in + do-in + dqkv-out = 7.
+
+    Round-3 sweep (PERF.md): larger groups are uniformly faster until the
+    compile OOMs — stage2 bwd g=4 -> 8 alone was -21% — so the budget is
+    set just under the measured compile ceiling (stage1 bwd g=8 OOMs,
+    g=4 compiles and is -10% vs g=2).
     """
-    budget = 10 * 1024 * 1024
-    per_row = score_tiles * n * n * 4 + 8 * n * width * 4
+    budget = 12 * 1024 * 1024
+    per_row = score_tiles * n * n * 4 + 2 * io_rows * n * width * itemsize
     g = max(1, min(b, budget // per_row, 16))
     while b % g:
         g -= 1
@@ -160,7 +168,8 @@ def _interpret() -> bool:
 
 def _fwd_call(q: Array, k: Array, v: Array, scale: float, num_heads: int) -> Array:
     b, n, width = q.shape
-    g = _pick_group(b, n, width, score_tiles=3)
+    g = _pick_group(b, n, width, score_tiles=2, io_rows=4,
+                    itemsize=q.dtype.itemsize)
     return pl.pallas_call(
         functools.partial(_fwd_kernel, scale=scale, num_heads=num_heads),
         grid=(b // g,),
@@ -173,7 +182,8 @@ def _fwd_call(q: Array, k: Array, v: Array, scale: float, num_heads: int) -> Arr
 
 def _bwd_call(q, k, v, do, scale: float, num_heads: int):
     b, n, width = q.shape
-    g = _pick_group(b, n, width, score_tiles=6)
+    g = _pick_group(b, n, width, score_tiles=3, io_rows=7,
+                    itemsize=q.dtype.itemsize)
     return pl.pallas_call(
         functools.partial(_bwd_kernel, scale=scale, num_heads=num_heads),
         grid=(b // g,),
@@ -206,7 +216,8 @@ fused_attention_packed.defvjp(_attn_fwd, _attn_bwd)
 def _fwd_call_qkv(qkv: Array, scale: float, num_heads: int) -> Array:
     b, n, width3 = qkv.shape
     width = width3 // 3
-    g = _pick_group(b, n, width, score_tiles=3)
+    g = _pick_group(b, n, width, score_tiles=2, io_rows=4,
+                    itemsize=qkv.dtype.itemsize)
     return pl.pallas_call(
         functools.partial(_fwd_kernel_qkv, scale=scale, num_heads=num_heads),
         grid=(b // g,),
@@ -220,7 +231,8 @@ def _fwd_call_qkv(qkv: Array, scale: float, num_heads: int) -> Array:
 def _bwd_call_qkv(qkv: Array, do: Array, scale: float, num_heads: int) -> Array:
     b, n, width3 = qkv.shape
     width = width3 // 3
-    g = _pick_group(b, n, width, score_tiles=6)
+    g = _pick_group(b, n, width, score_tiles=3, io_rows=7,
+                    itemsize=qkv.dtype.itemsize)
     return pl.pallas_call(
         functools.partial(_bwd_kernel_qkv, scale=scale, num_heads=num_heads),
         grid=(b // g,),
