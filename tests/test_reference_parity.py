@@ -226,3 +226,23 @@ def test_block_parity_with_dropped_layer(refnets):
     out, _ = model.apply(variables, jnp.asarray(x),
                          jnp.asarray(embed_mask).astype(bool), None, masks)
     np.testing.assert_allclose(np.asarray(out), x, atol=1e-6)
+
+
+def test_training_dynamics_parity_short():
+    """End-to-end differential training vs the executed reference model:
+    same net, same initial weights, same batches, same recipe -> same
+    per-step losses (tools/parity_study.py; full study in
+    RESULTS_parity.md).  Short run: 6 steps must agree to 1e-4."""
+    import sys
+
+    from vit_search_tpu.tools import parity_study
+
+    argv = sys.argv
+    sys.argv = ["parity_study", "--steps-per-epoch", "3", "--epochs", "2",
+                "--batch-size", "16", "--eval-size", "64"]
+    try:
+        result = parity_study.main()
+    finally:
+        sys.argv = argv
+    assert result["max_abs_loss_diff"] < 1e-4
+    assert result["final_acc_gap"] <= 5.0  # 64-image eval granularity

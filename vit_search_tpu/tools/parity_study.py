@@ -185,11 +185,12 @@ def torch_sd_to_flax(sd, net):
     return params, stats
 
 
-def make_data(rng, n):
+def make_data(rng, n, noise=0.4):
     """Deterministic class-separable uint8 images (both sides see these)."""
     ys = rng.integers(0, CLASSES, size=n).astype(np.int64)
-    base = rng.normal(size=(CLASSES, IMG, IMG, 3))
-    imgs = base[ys] * 0.6 + rng.normal(size=(n, IMG, IMG, 3)) * 0.6
+    # class prototypes are FIXED (same for train and eval streams)
+    base = np.random.default_rng(7).normal(size=(CLASSES, IMG, IMG, 3))
+    imgs = base[ys] * 1.0 + rng.normal(size=(n, IMG, IMG, 3)) * noise
     u8 = np.clip(imgs * 40 + 128, 0, 255).astype(np.uint8)
     return u8, ys
 
@@ -219,6 +220,10 @@ def main():
     ap.add_argument("--out", default=None,
                     help="write RESULTS_parity.md here")
     ap.add_argument("--json", default=None)
+    ap.add_argument("--noise", type=float, default=0.4,
+                    help="sample noise vs class prototype; higher values "
+                         "slow learning and amplify chaotic fp divergence "
+                         "between otherwise-identical implementations")
     args = ap.parse_args()
 
     import torch
@@ -242,8 +247,9 @@ def main():
 
     # --- identical data stream -------------------------------------------
     rng = np.random.default_rng(0)
-    train_x, train_y = make_data(rng, bs * spe * epochs)
-    eval_x, eval_y = make_data(np.random.default_rng(999), args.eval_size)
+    train_x, train_y = make_data(rng, bs * spe * epochs, args.noise)
+    eval_x, eval_y = make_data(np.random.default_rng(999), args.eval_size,
+                               args.noise)
 
     # --- reference model + weights ---------------------------------------
     ref = load_reference_model(torch)
