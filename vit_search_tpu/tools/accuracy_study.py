@@ -215,9 +215,22 @@ def main():
     seeds = [int(s) for s in str(args.retrain_seeds).split(",")]
 
     def retrain(tag, net, seed, epochs=None):
-        """One searched-net-recipe retrain; returns its curve."""
+        """One searched-net-recipe retrain; returns its curve.
+
+        Idempotent: a completed run (log.txt has all epochs) is reused,
+        so interrupted studies resume and rankcorr can share the
+        winner/worst retrains."""
+        import shutil
+
+        epochs = epochs or args.retrain_epochs
         out = os.path.join(root, f"retrain_{tag}" if seed == seeds[0]
                            else f"retrain_{tag}_s{seed}")
+        existing_curve = read_curve(out)
+        if len(existing_curve) >= epochs:
+            print(f"retrain {tag} s{seed}: reusing completed run", flush=True)
+            return existing_curve
+        if os.path.isdir(out):
+            shutil.rmtree(out)  # partial run: restart clean
         # common carries --seed 0; substitute this job's seed
         seeded = list(common)
         seeded[seeded.index("--seed") + 1] = str(seed)
@@ -225,7 +238,7 @@ def main():
             "--model", "flexible_vit_sr_patch14_224_patch_output",
             "--network-def", net, "--use-patch-mixup",
             "--drop-path", "0.1", "--no-model-ema",
-            "--epochs", str(epochs or args.retrain_epochs),
+            "--epochs", str(epochs),
             "--warmup-epochs", "2", "--output_dir", out, *seeded], log)
         return read_curve(out)
 
@@ -290,8 +303,13 @@ def main():
                 seen.add(r[0])
                 chosen.append(r)
         entries = []
+        worst_def = history_lines[-1].split('"')[1]
         for rank, score, net in chosen:
-            curve = retrain(f"rc{rank}", net, seeds[0])
+            # ranks that coincide with the winner/worst control retrains
+            # reuse those runs (same def, same seed, same recipe)
+            tag = ("winner" if net == winner_def
+                   else "worst" if net == worst_def else f"rc{rank}")
+            curve = retrain(tag, net, seeds[0])
             entries.append({"history_rank": rank, "fitness": score,
                             "mac": int(est(parse_network_def(net))),
                             "retrained_acc1": curve[-1]["test_acc1"],
