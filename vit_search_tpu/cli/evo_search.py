@@ -160,7 +160,7 @@ def main(args) -> dict:
                                   mutate_size=args.mutate_size)
 
         defs = [ind.network_def for ind in evolver.popu]
-        scores = evaluator.score(defs)
+        scores = evaluator.score(defs, progress=logger.info)
         for ind, score in zip(evolver.popu, scores):
             ind.score = float(score)
 

@@ -370,7 +370,9 @@ def main(args) -> dict:
         # batches (bounds the async queue over remote backends) and once at
         # the end — not one blocking round-trip per batch (the reference's
         # prefetch-eval intent, engine.py:194-261).
-        sync_every = int(os.environ.get("EVAL_SYNC_EVERY", "10"))
+        # small default: deep unmaterialized queues degrade pathologically
+        # over remote/tunneled backends (see PERF.md round 3)
+        sync_every = int(os.environ.get("EVAL_SYNC_EVERY", "3"))
         totals: dict = {}
         device_acc, pending = None, 0
 

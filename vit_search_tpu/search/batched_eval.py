@@ -13,6 +13,7 @@ once.  Valid because candidate extraction is prefix slicing
 
 from __future__ import annotations
 
+import os
 from typing import Dict, List, Sequence
 
 import jax
@@ -132,11 +133,13 @@ class BatchedSupernetEvaluator:
         correct = np.zeros(a, dtype=np.float64)
         total = 0.0
         # Per-candidate correct counts and the valid-row total accumulate
-        # on device; the host drains every `sync_every` batches (bounds the
-        # async queue over remote backends) instead of one blocking
-        # round-trip per batch.
+        # on device; the host drains every `sync_every` batches instead of
+        # one blocking round-trip per batch.  Keep this SMALL: on remote
+        # (tunneled) backends a deep unmaterialized dispatch queue degrades
+        # pathologically (measured: sync_every=10 stalled candidate
+        # scoring by >10x; 2 is safe and still halves the round-trips).
         device_acc, pending = None, 0
-        sync_every = 10
+        sync_every = int(os.environ.get("VST_EVAL_SYNC_EVERY", "2"))
 
         def drain(acc):
             nonlocal correct, total
@@ -167,16 +170,26 @@ class BatchedSupernetEvaluator:
             drain(device_acc)
         return correct / max(total, 1.0) * 100.0
 
-    def score(self, network_defs: Sequence) -> List[float]:
+    def score(self, network_defs: Sequence,
+              progress=None) -> List[float]:
         """Top-1 accuracy (%) on the sub-val set for each candidate.
 
         Chunks of up to ``arch_batch`` candidates share one compiled program
         per (chunk size, batch size) pair; the final partial chunk is padded
         with repeats of the last candidate so no new program shape appears.
+        ``progress``: optional callable fed a status line every 10 chunks.
         """
+        import time as _time
+
+        t0 = _time.time()
         scores: List[float] = []
         defs = list(network_defs)
+        n_chunks = -(-len(defs) // self.arch_batch)
         for i in range(0, len(defs), self.arch_batch):
+            if progress and (i // self.arch_batch) % 10 == 0 and i:
+                progress(f"scored {i}/{len(defs)} candidates "
+                         f"({_time.time() - t0:.0f}s, "
+                         f"{i // self.arch_batch}/{n_chunks} chunks)")
             chunk = defs[i:i + self.arch_batch]
             pad = 0
             if len(chunk) < self.arch_batch and len(defs) > self.arch_batch:
