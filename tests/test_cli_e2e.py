@@ -238,3 +238,50 @@ def test_build_teacher_unit(tmp_path):
                               "tiny_test_patch7_28", 4, jnp.float32, logger)
     out2 = apply_fn2(jnp.zeros((2, 28, 28, 3)))
     assert out2.shape == (2, 4)
+
+
+def test_drop_block_rejected():
+    """--drop-block must fail loudly: the reference forwards it to timm
+    create_model (main.py:90-95,249) where ViT factories reject the kwarg."""
+    from vit_search_tpu.cli import train as train_cli
+    args = _train_args(["--model", "tiny_test_patch7_28",
+                        "--drop-block", "0.1"])
+    with pytest.raises(NotImplementedError, match="drop-block"):
+        train_cli.main(args)
+
+
+def test_model_ema_force_cpu(tmp_path):
+    """--model-ema-force-cpu keeps the EMA copy on the host (reference
+    main.py:136-137 / timm ModelEma(device='cpu')): same EMA numbers as
+    the device path, same checkpoint layout, EMA eval + resume work."""
+    import jax
+
+    from vit_search_tpu.cli import train as train_cli
+    from vit_search_tpu.train.checkpoint import restore_raw
+
+    outs = {}
+    for tag, extra in [("device", []), ("cpu", ["--model-ema-force-cpu"])]:
+        out = str(tmp_path / tag)
+        args = _train_args([
+            "--model", "tiny_test_patch7_28",
+            "--model-ema", "--model-ema-decay", "0.9",
+            "--output_dir", out] + extra)
+        result = train_cli.main(args)
+        assert "ema_test_acc1" in result, f"{tag}: EMA eval missing"
+        outs[tag] = out
+
+    for name in ("checkpoint", "best_ema"):
+        a = restore_raw(os.path.join(outs["device"], "checkpoints", name))
+        b = restore_raw(os.path.join(outs["cpu"], "checkpoints", name))
+        for pa, pb in zip(jax.tree_util.tree_leaves(a["ema_params"]),
+                          jax.tree_util.tree_leaves(b["ema_params"])):
+            np.testing.assert_allclose(np.asarray(pa), np.asarray(pb),
+                                       rtol=0, atol=1e-6)
+
+    # eval-only resume picks the host EMA tree
+    args = _train_args([
+        "--model", "tiny_test_patch7_28",
+        "--model-ema", "--model-ema-decay", "0.9", "--model-ema-force-cpu",
+        "--output_dir", outs["cpu"], "--resume", "auto", "--eval"])
+    result = train_cli.main(args)
+    assert "acc1" in result["eval"]

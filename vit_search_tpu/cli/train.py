@@ -59,7 +59,7 @@ def get_args_parser() -> argparse.ArgumentParser:
     parser.add_argument("--input-size", default=224, type=int)
     parser.add_argument("--drop", type=float, default=0.0)
     parser.add_argument("--drop-path", type=float, default=0.1)
-    parser.add_argument("--drop-block", type=float, default=None)  # unused (parity)
+    parser.add_argument("--drop-block", type=float, default=None)  # loud below
     parser.add_argument("--model-ema", action="store_true")
     parser.add_argument("--no-model-ema", action="store_false", dest="model_ema")
     parser.set_defaults(model_ema=True)
@@ -203,6 +203,15 @@ def main(args) -> dict:
     if args.device == "cpu":
         jax.config.update("jax_platforms", "cpu")
 
+    if args.drop_block is not None:
+        # Every model family here is ViT/DeiT — none has a drop-block op.
+        # The reference forwards the flag to timm create_model
+        # (main.py:90-95,249) where the ViT factories reject the kwarg, so
+        # failing loudly here IS the parity behavior (vs silently training
+        # without the requested regularizer).
+        raise NotImplementedError(
+            "--drop-block is not supported by any ViT/DeiT model family")
+
     mesh = parallel.create_mesh()
     is_main = parallel.is_main_process()
     logger = utils.file_logger(args.output_dir or None, is_master=is_main)
@@ -326,7 +335,9 @@ def main(args) -> dict:
                        if args.cutmix_minmax else None),
         patch_len=args.mixup_patch_len,
         distill_alpha=args.distill_alpha, hard_distill=args.hard_distill,
-        ema_decay=args.model_ema_decay if args.model_ema else None,
+        ema_decay=(args.model_ema_decay
+                   if args.model_ema and not args.model_ema_force_cpu
+                   else None),
         erasing_prob=args.reprob, erasing_mode=args.remode,
         erasing_count=args.recount)
     if args.use_patch_mixup and args.input_size != 56 * args.mixup_patch_len:
@@ -361,6 +372,18 @@ def main(args) -> dict:
         if not args.eval:
             start_epoch = int(meta.get("epoch", -1)) + 1
         logger.info(f"resumed from epoch {meta.get('epoch')}")
+
+    # --model-ema-force-cpu: the EMA copy lives in HOST memory and updates
+    # there once per step — the reference's timm ModelEma(device='cpu')
+    # device-memory workaround (reference main.py:136-137).  State is
+    # created (and restored) with a device EMA slot so the checkpoint
+    # layout is identical in both modes; here it moves to the host and the
+    # jitted step runs EMA-free (ema_decay=None above).
+    host_ema = None
+    if args.model_ema and args.model_ema_force_cpu:
+        src = state.ema_params if state.ema_params is not None else state.params
+        host_ema = jax.device_get(src)
+        state = state.replace(ema_params=None)
 
     eval_counts = schedules.full_counts() if schedules is not None else None
 
@@ -403,8 +426,12 @@ def main(args) -> dict:
         return stats
 
     if args.eval:
-        eval_params = state.ema_params if (args.model_ema and state.ema_params
-                                           is not None and args.resume) else state.params
+        ema_tree = host_ema if host_ema is not None else state.ema_params
+        if args.model_ema and ema_tree is not None and args.resume:
+            eval_params = (parallel.replicate(mesh, ema_tree)
+                           if host_ema is not None else ema_tree)
+        else:
+            eval_params = state.params
         stats = run_eval(eval_params)
         return {"eval": stats}
 
@@ -457,6 +484,14 @@ def main(args) -> dict:
                       if schedules is not None else None)
             state, metrics = train_step(state, images, labels, counts, rng)
             loss = float(metrics["loss"])
+            if host_ema is not None:
+                # host-side ema_update twin (train/state.py:36-38); the
+                # per-step params fetch is the documented cost of the flag
+                d = args.model_ema_decay
+                host_ema = jax.tree.map(
+                    lambda e, p: (e * d + p.astype(e.dtype) * (1.0 - d)
+                                  ).astype(e.dtype),
+                    host_ema, jax.device_get(state.params))
             if args.profile_dir and epoch == start_epoch and it == args.profile_steps:
                 jax.profiler.stop_trace()
                 logger.info(f"profiler trace written to {args.profile_dir}")
@@ -468,7 +503,9 @@ def main(args) -> dict:
                 logger.warning(f"preempted at epoch {epoch} step {it}; "
                                "checkpointing and exiting")
                 if ckpt and is_main:
-                    ckpt.save_epoch(state, epoch - 1,
+                    save_state = (state.replace(ema_params=host_ema)
+                                  if host_ema is not None else state)
+                    ckpt.save_epoch(save_state, epoch - 1,
                                     metadata={"max_acc": max_acc,
                                               "preempted_step": global_step,
                                               "args": vars(args)})
@@ -480,8 +517,11 @@ def main(args) -> dict:
 
         test_stats = run_eval(state.params)
         ema_stats = {}
-        if args.model_ema and state.ema_params is not None:
-            ema_stats = run_eval(state.ema_params)
+        ema_tree = host_ema if host_ema is not None else state.ema_params
+        if args.model_ema and ema_tree is not None:
+            if host_ema is not None:
+                ema_tree = parallel.replicate(mesh, ema_tree)
+            ema_stats = run_eval(ema_tree)
 
         acc1 = test_stats.get("acc1", 0.0)
         is_best = acc1 > max_acc
@@ -500,7 +540,9 @@ def main(args) -> dict:
             with open(os.path.join(args.output_dir, "log.txt"), "a") as f:
                 f.write(json.dumps(log_stats) + "\n")
         if ckpt and is_main:
-            ckpt.save_epoch(state, epoch,
+            save_state = (state.replace(ema_params=host_ema)
+                          if host_ema is not None else state)
+            ckpt.save_epoch(save_state, epoch,
                             metadata={"max_acc": max_acc, "args": vars(args)},
                             is_best=is_best, is_best_ema=is_best_ema)
 
