@@ -49,3 +49,33 @@ def test_full_summary_renders_controls_finetune_eval(tmp_path):
     assert "Higher-resolution finetune" in txt and "280px" in txt
     assert "Standalone `--eval`" in txt
     assert "worst network_def" in txt
+
+
+def test_seed_table_and_rankcorr_render(tmp_path):
+    s = dict(BASE)
+    s.update({"random_def": "((3,))", "random_mac": 1_750_000_000,
+              "random_curve": CURVE, "random_final_acc1": 25.0,
+              "winner_final_acc1_by_seed": {"0": 30.0, "1": 31.0, "2": 29.5},
+              "random_final_acc1_by_seed": {"0": 25.0, "1": 24.0, "2": 26.0},
+              "rankcorr": {
+                  "entries": [
+                      {"history_rank": 0, "fitness": 12.0,
+                       "mac": 1_700_000_000, "retrained_acc1": 31.0,
+                       "network_def": "((2,))"},
+                      {"history_rank": 9, "fitness": 8.0,
+                       "mac": 1_650_000_000, "retrained_acc1": 27.0,
+                       "network_def": "((4,))"}],
+                  "kendall_tau": 1.0, "concordant": 1, "discordant": 0}})
+    txt = render(tmp_path, s)
+    assert "Per-seed finals" in txt
+    assert "| 1 | 31.00% | 24.00% | +7.00 |" in txt
+    assert "winner: mean 30.17%" in txt
+    assert "Kendall tau = 1.000" in txt
+    assert "| 9 | 8.00% | 1.650G | 27.00% |" in txt
+
+
+def test_seed_table_without_random_control(tmp_path):
+    s = dict(BASE)
+    s["winner_final_acc1_by_seed"] = {"0": 30.0, "1": 31.0}
+    txt = render(tmp_path, s)
+    assert "Per-seed finals" in txt and "winner − random" not in txt

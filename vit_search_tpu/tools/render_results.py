@@ -76,6 +76,32 @@ Identical retraining recipe (epochs, LR schedule, token mixup, erasing):
         md += (f"| {tag} (same budget) | {s[f'{tag}_mac'] / 1e9:.3f}G "
                f"| {s[f'{tag}_final_acc1']:.2f}% "
                f"| {c[-1].get('test_acc5', float('nan')):.2f}% |\n")
+    if s.get("winner_final_acc1_by_seed"):
+        tags = ["winner"] + [t for t in controls
+                             if s.get(f"{t}_final_acc1_by_seed")]
+        by_seed = {t: {int(k): v for k, v in
+                       s[f"{t}_final_acc1_by_seed"].items()} for t in tags}
+        seeds_list = sorted(by_seed["winner"])
+        md += ("\n### Per-seed finals (the seed moves both the init and "
+               "the data order)\n\n")
+        md += ("| seed | " + " | ".join(tags)
+               + (" | winner − random |" if "random" in tags else " |")
+               + "\n|" + "---|" * (len(tags) + 1
+                                   + ("random" in tags)) + "\n")
+        for sd in seeds_list:
+            row = [f"{by_seed[t][sd]:.2f}%" if sd in by_seed[t] else "—"
+                   for t in tags]
+            if "random" in tags and sd in by_seed["random"]:
+                row.append(f"+{by_seed['winner'][sd] - by_seed['random'][sd]:.2f}")
+            md += f"| {sd} | " + " | ".join(row) + " |\n"
+        import statistics
+        for t in tags:
+            vals = list(by_seed[t].values())
+            if len(vals) > 1:
+                md += (f"\n{t}: mean {statistics.mean(vals):.2f}% "
+                       f"± {statistics.stdev(vals):.2f} over "
+                       f"{len(vals)} seeds")
+        md += "\n"
     md += f"""
 Winner per-epoch top-1: `{spark([e["test_acc1"] for e in w])}`
 """
@@ -108,6 +134,24 @@ interpolation, reference finetune/*.sh recipe shape):
 
 `cli.train --eval --resume <finetuned ckpt>`: `{s["eval_only"]}`
 """
+    if s.get("rankcorr"):
+        rc = s["rankcorr"]
+        md += f"""
+## Fitness ↔ retrained-accuracy rank correlation
+
+{len(rc["entries"])} candidates spread across the search history's score
+range, each retrained from scratch with the identical recipe (one seed):
+
+| history rank | holdout fitness | MACs | retrained top-1 |
+|---|---|---|---|
+"""
+        for e in rc["entries"]:
+            md += (f"| {e['history_rank']} | {e['fitness']:.2f}% "
+                   f"| {e['mac'] / 1e9:.3f}G | {e['retrained_acc1']:.2f}% |\n")
+        md += (f"\n**Kendall tau = {rc['kendall_tau']:.3f}** "
+               f"({rc['concordant']} concordant / {rc['discordant']} "
+               f"discordant pairs): supernet holdout fitness orders "
+               f"retrained accuracy — the NAS proxy contract.\n")
     md += f"""
 ## Definitions
 
