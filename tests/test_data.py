@@ -495,3 +495,53 @@ def test_loader_process_backend_matches_thread_backend():
 
     with pytest.raises(ValueError):
         DataLoader(ds, sampler, 8, worker_backend="greenlet")
+
+
+class _RaisingDataset(SyntheticDataset):
+    """Raises on one index (a 'corrupt image'); fork-inherited by workers."""
+
+    def __init__(self, bad_index, **kw):
+        super().__init__(**kw)
+        self.bad_index = bad_index
+
+    def load(self, index, rng):
+        if index == self.bad_index:
+            raise OSError(f"simulated corrupt image at index {index}")
+        return super().load(index, rng)
+
+
+class _DyingDataset(SyntheticDataset):
+    """Hard-kills the worker process on one index (codec segfault / OOM)."""
+
+    def __init__(self, bad_index, **kw):
+        super().__init__(**kw)
+        self.bad_index = bad_index
+
+    def load(self, index, rng):
+        if index == self.bad_index:
+            os._exit(3)
+        return super().load(index, rng)
+
+
+def test_process_loader_worker_exception_propagates():
+    """A worker exception must fail the run loudly, not wedge the parent
+    in res_q.get() forever (advisor round-3 finding)."""
+    ds = _RaisingDataset(bad_index=5, num_classes=4, size=8, length=16,
+                         img_size=8, transform=EvalTransform(size=8))
+    loader = DataLoader(ds, ShardedSampler(len(ds), 1, 0, shuffle=False), 4,
+                        num_workers=2, drop_last=True, seed=0,
+                        worker_backend="process")
+    with pytest.raises(RuntimeError, match="worker failed"):
+        list(loader)
+
+
+def test_process_loader_worker_death_detected():
+    """A worker killed by the OS can't report an exception; the parent's
+    liveness check must raise instead of blocking forever."""
+    ds = _DyingDataset(bad_index=5, num_classes=4, size=8, length=16,
+                       img_size=8, transform=EvalTransform(size=8))
+    loader = DataLoader(ds, ShardedSampler(len(ds), 1, 0, shuffle=False), 4,
+                        num_workers=2, drop_last=True, seed=0,
+                        worker_backend="process")
+    with pytest.raises(RuntimeError, match="died with exit code|never arrived"):
+        list(loader)

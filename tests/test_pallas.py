@@ -205,3 +205,35 @@ def test_fused_attention_qkv_bf16():
     np.testing.assert_allclose(np.asarray(got, np.float32),
                                np.asarray(want, np.float32),
                                rtol=5e-2, atol=5e-2)
+
+
+def test_fused_attention_qkv_t_matches_batch_major():
+    """The sequence-major variant (VST_PALLAS_ATTN_T experiment) must be
+    numerically identical to the batch-major kernel, fwd and bwd."""
+    from vit_search_tpu.ops.pallas.attention import (fused_attention_qkv,
+                                                     fused_attention_qkv_t)
+
+    B, N, H, D = 4, 18, 3, 16
+    W = H * D
+    rng = np.random.default_rng(3)
+    qkv = jnp.asarray(rng.normal(size=(B, N, 3 * W)).astype(np.float32))
+    scale = D ** -0.5
+
+    want = fused_attention_qkv(qkv, scale, H)
+    got = jnp.transpose(
+        fused_attention_qkv_t(jnp.transpose(qkv, (1, 0, 2)), scale, H),
+        (1, 0, 2))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+    def loss_bm(x):
+        return (fused_attention_qkv(x, scale, H) ** 2).sum()
+
+    def loss_sm(x):
+        y = fused_attention_qkv_t(jnp.transpose(x, (1, 0, 2)), scale, H)
+        return (jnp.transpose(y, (1, 0, 2)) ** 2).sum()
+
+    g_want = jax.grad(loss_bm)(qkv)
+    g_got = jax.grad(loss_sm)(qkv)
+    np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_want),
+                               rtol=1e-4, atol=1e-5)

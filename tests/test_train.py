@@ -368,3 +368,14 @@ def test_lr_schedule_step_tanh_and_loud_failure():
     for bad in ("plateau", "multistep", "poly"):
         with pytest.raises(ValueError, match="sched"):
             timm_epoch_lrs(OptimConfig(**base, sched=bad))
+
+
+def test_step_sched_rejects_zero_decay_epochs():
+    """--decay-epochs 0 with --sched step must raise a clear argument error,
+    not a ZeroDivisionError deep in the schedule table."""
+    import pytest
+
+    from vit_search_tpu.train.optim import OptimConfig, lr_schedule
+
+    with pytest.raises(ValueError, match="decay-epochs"):
+        lr_schedule(OptimConfig(sched="step", decay_epochs=0))

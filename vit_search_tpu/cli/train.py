@@ -146,6 +146,10 @@ def get_args_parser() -> argparse.ArgumentParser:
     parser.add_argument("--finetune", default=None, type=str)
 
     # TPU-specific
+    parser.add_argument("--gelu", default="exact", choices=["exact", "tanh"],
+                        help="GELU flavor: 'exact' (erf, matches the "
+                             "reference's nn.GELU numerics) or 'tanh' "
+                             "(faster approximation; see PERF.md)")
     parser.add_argument("--bf16", action="store_true", default=True,
                         help="bfloat16 compute (params stay f32)")
     parser.add_argument("--no-bf16", action="store_false", dest="bf16")
@@ -202,6 +206,11 @@ def main(args) -> dict:
 
     if args.device == "cpu":
         jax.config.update("jax_platforms", "cpu")
+
+    # GELU flavor is a trace-time compute knob like VST_PALLAS_ATTN (see
+    # models/layers.py); the flag sets it for this process so in-process
+    # callers (tests, studies) each get their own value.
+    os.environ["VST_GELU"] = args.gelu
 
     if args.drop_block is not None:
         # Every model family here is ViT/DeiT — none has a drop-block op.
@@ -360,8 +369,28 @@ def main(args) -> dict:
     if args.resume:
         # 'auto' (or any non-path) resumes from this run's own checkpoint dir;
         # an explicit directory path restores that checkpoint (eval scripts
-        # pass trained-model paths, reference main.py:401-416)
-        if args.resume != "auto" and os.path.isdir(args.resume):
+        # pass trained-model paths, reference main.py:401-416); an http(s)
+        # URL is downloaded through the hub cache first (the torch.hub
+        # load_state_dict_from_url path, reference main.py:402-404) —
+        # either a reference-format torch file (weights only) or an
+        # archived orbax checkpoint (full state + epoch).
+        if args.resume.startswith(("http://", "https://")):
+            from .. import hub
+
+            local = hub.download(args.resume)
+            if local.endswith(hub.TORCH_SUFFIXES):
+                variables = hub._load_torch_variables(local, model)
+                state = state.replace(
+                    params=parallel.replicate(mesh, variables["params"]))
+                meta = {}
+                logger.info(f"resumed torch weights (params only) from "
+                            f"{args.resume}")
+            else:
+                ckpt_dir = train.unpack_checkpoint_archive(local)
+                mgr = train.CheckpointManager(os.path.dirname(ckpt_dir),
+                                              snapshot_every=0)
+                state, meta = mgr.restore(os.path.basename(ckpt_dir), state)
+        elif args.resume != "auto" and os.path.isdir(args.resume):
             mgr = train.CheckpointManager(os.path.dirname(os.path.abspath(args.resume)),
                                           snapshot_every=0)
             state, meta = mgr.restore(os.path.basename(args.resume.rstrip("/")), state)
@@ -389,13 +418,15 @@ def main(args) -> dict:
 
     def run_eval(params_tree):
         logger_eval = utils.MetricLogger(logger=logger)
-        # Metric sums stay on device; the host fetches every EVAL_SYNC_EVERY
-        # batches (bounds the async queue over remote backends) and once at
-        # the end — not one blocking round-trip per batch (the reference's
-        # prefetch-eval intent, engine.py:194-261).
+        # Metric sums stay on device; the host fetches every
+        # VST_EVAL_SYNC_EVERY batches (bounds the async queue over remote
+        # backends) and once at the end — not one blocking round-trip per
+        # batch (the reference's prefetch-eval intent, engine.py:194-261).
         # small default: deep unmaterialized queues degrade pathologically
         # over remote/tunneled backends (see PERF.md round 3)
-        sync_every = int(os.environ.get("EVAL_SYNC_EVERY", "3"))
+        sync_every = int(os.environ.get(
+            "VST_EVAL_SYNC_EVERY",
+            os.environ.get("EVAL_SYNC_EVERY", "3")))  # legacy name
         totals: dict = {}
         device_acc, pending = None, 0
 
@@ -459,6 +490,32 @@ def main(args) -> dict:
         metric_logger = utils.MetricLogger(logger=logger)
         metric_logger.add_meter("lr", utils.SmoothedValue(
             window_size=1, fmt="{value:.6f}"))
+
+        # Per-step metrics stay on device; the host materializes a WINDOW of
+        # them in one blocking fetch every `sync_every` steps, so the step
+        # loop never waits on the device between syncs (the per-step
+        # float(loss) round-trip was the CLI-vs-bench throughput gap, see
+        # PERF.md round 4).  Deviation from the reference (engine.py:170-173):
+        # the non-finite-loss abort fires at window granularity, up to
+        # sync_every-1 steps after the bad step.
+        sync_every = max(1, int(os.environ.get(
+            "VST_TRAIN_SYNC_EVERY", str(min(args.print_freq, 10)))))
+        if host_ema is not None:
+            sync_every = 1  # per-step params fetch already syncs
+        pending = []
+
+        def drain_pending():
+            if not pending:
+                return
+            fetched = jax.device_get(pending)
+            pending.clear()
+            for mv in fetched:
+                loss = float(mv["loss"])
+                if not np.isfinite(loss):
+                    logger.error(f"Loss is {loss}, stopping training")
+                    raise FloatingPointError(
+                        f"non-finite loss at epoch {epoch}")
+                metric_logger.update(loss=loss, lr=float(mv.get("lr", 0.0)))
         rng = jax.random.fold_in(epoch_rng, epoch)
         # arch sampling is host-independent (seeded by (seed, epoch) like
         # the reference RNG bracket, engine.py:119-132) but covers the
@@ -471,6 +528,18 @@ def main(args) -> dict:
         # device transfers run `depth` batches ahead of the step loop
         # (timm PrefetchLoader counterpart; see parallel.prefetch_to_mesh)
         device_batches = parallel.prefetch_to_mesh(loader_train, mesh)
+        if os.environ.get("VST_BENCH_REUSE_BATCH") == "1":
+            # CLI-path benchmarking: reuse the first device batch for the
+            # whole epoch, taking host decode out of the measurement (the
+            # dev box may have far fewer cores than a real TPU VM) while
+            # keeping the entire CLI step path — sampling, jitted step,
+            # metric drains, epoch accounting.  See PERF.md "CLI-path
+            # throughput".
+            import itertools
+            device_batches = itertools.repeat(
+                next(iter(device_batches)), steps_per_epoch)
+        epoch_t0 = time.time()
+        steps_done = 0
         for it, (images, labels) in enumerate(metric_logger.log_every(
                 device_batches, args.print_freq, header=f"Epoch: [{epoch}]",
                 total=steps_per_epoch)):
@@ -483,7 +552,8 @@ def main(args) -> dict:
             counts = (schedules.sample_packed(host_rng, images.shape[0])
                       if schedules is not None else None)
             state, metrics = train_step(state, images, labels, counts, rng)
-            loss = float(metrics["loss"])
+            pending.append(metrics)
+            steps_done += 1
             if host_ema is not None:
                 # host-side ema_update twin (train/state.py:36-38); the
                 # per-step params fetch is the documented cost of the flag
@@ -495,11 +565,10 @@ def main(args) -> dict:
             if args.profile_dir and epoch == start_epoch and it == args.profile_steps:
                 jax.profiler.stop_trace()
                 logger.info(f"profiler trace written to {args.profile_dir}")
-            if not np.isfinite(loss):
-                logger.error(f"Loss is {loss}, stopping training")
-                raise FloatingPointError(f"non-finite loss at epoch {epoch}")
-            metric_logger.update(loss=loss, lr=float(metrics.get("lr", 0.0)))
+            if len(pending) >= sync_every:
+                drain_pending()
             if _PREEMPTED.is_set():
+                drain_pending()
                 logger.warning(f"preempted at epoch {epoch} step {it}; "
                                "checkpointing and exiting")
                 if ckpt and is_main:
@@ -511,8 +580,16 @@ def main(args) -> dict:
                                               "args": vars(args)})
                 return {"preempted": True, "epoch": epoch, "step": it}
 
+        drain_pending()  # blocks until the epoch's last step is done
+        epoch_secs = time.time() - epoch_t0
+        epoch_imgs_per_sec = (steps_done * global_batch / epoch_secs
+                              if epoch_secs > 0 else 0.0)
+        logger.info(f"Epoch: [{epoch}] throughput: "
+                    f"{epoch_imgs_per_sec:.1f} imgs/s "
+                    f"({steps_done} steps, global batch {global_batch})")
         metric_logger.synchronize_between_processes()
         train_stats = metric_logger.averages()
+        train_stats["imgs_per_sec"] = epoch_imgs_per_sec
         logger.info(f"Averaged stats: {metric_logger}")
 
         test_stats = run_eval(state.params)

@@ -48,13 +48,29 @@ def _load_batch(dataset, seed, epoch, bi, batch_indices):
     return np.stack(images), np.asarray(labels, np.int32)
 
 
+class _WorkerFailure:
+    """Pickled marker a worker sends in place of a batch when it fails."""
+
+    def __init__(self, formatted_traceback: str):
+        self.formatted_traceback = formatted_traceback
+
+
 def _process_worker(dataset, seed, epoch, job_q, res_q):
+    import traceback
+
     while True:
         job = job_q.get()
         if job is None:
             return
         bi, batch_indices = job
-        res_q.put((bi, *_load_batch(dataset, seed, epoch, bi, batch_indices)))
+        try:
+            item = _load_batch(dataset, seed, epoch, bi, batch_indices)
+        except BaseException:
+            # Ship the failure to the parent instead of dying silently —
+            # a corrupt image must fail the run loudly, not wedge it.
+            res_q.put((bi, _WorkerFailure(traceback.format_exc()), None))
+            return
+        res_q.put((bi, *item))
 
 
 class DataLoader:
@@ -195,7 +211,28 @@ class DataLoader:
         next_bi = 0
         try:
             while next_bi < len(batches):
-                bi, images, labels = res_q.get()
+                try:
+                    bi, images, labels = res_q.get(timeout=5.0)
+                except queue.Empty:
+                    # Liveness check: a worker killed by the OS (OOM,
+                    # segfault in a codec) can't send a _WorkerFailure;
+                    # without this the parent would block here forever.
+                    dead = [p for p in procs
+                            if not p.is_alive() and p.exitcode not in (0, None)]
+                    if dead:
+                        codes = [p.exitcode for p in dead]
+                        raise RuntimeError(
+                            f"data loader worker process(es) died with exit "
+                            f"code(s) {codes} before batch {next_bi} arrived")
+                    if not any(p.is_alive() for p in procs):
+                        raise RuntimeError(
+                            f"all data loader workers exited but batch "
+                            f"{next_bi}/{len(batches)} never arrived")
+                    continue
+                if isinstance(images, _WorkerFailure):
+                    raise RuntimeError(
+                        "data loader worker failed:\n"
+                        + images.formatted_traceback)
                 buffered[bi] = (images, labels)
                 while next_bi in buffered:
                     yield buffered.pop(next_bi)

@@ -34,7 +34,8 @@ PRETRAINED_URLS = {
         "https://dl.fbaipublicfiles.com/deit/deit_base_patch16_224-b5f2ef4d.pth",
 }
 
-_TORCH_SUFFIXES = (".pth", ".pth.tar", ".pt", ".bin")
+TORCH_SUFFIXES = (".pth", ".pth.tar", ".pt", ".bin")
+_TORCH_SUFFIXES = TORCH_SUFFIXES  # back-compat alias
 
 
 def cache_dir() -> str:

@@ -86,7 +86,10 @@ class Mlp(nn.Module):
                  *, deterministic: bool = True) -> Array:
         x = nn.Dense(self.hidden_features, dtype=self.dtype,
                      kernel_init=trunc_normal_init, name="fc1")(x)
-        x = nn.gelu(x, approximate=False)
+        # VST_GELU=tanh opts into the tanh approximation (read at trace
+        # time, like VST_PALLAS_ATTN); default is the exact erf form the
+        # reference's nn.GELU computes.  Set by the --gelu CLI flag.
+        x = nn.gelu(x, approximate=os.environ.get("VST_GELU") == "tanh")
         x = nn.Dropout(self.dropout_rate, deterministic=deterministic)(x)
         x = apply_mask(x, hidden_mask)
         x = nn.Dense(self.out_features, dtype=self.dtype,
@@ -124,13 +127,23 @@ class Attention(nn.Module):
 
         use_fused = _USE_PALLAS_ATTN
         if use_fused:
-            from ..ops.pallas.attention import fused_attention_qkv, supported
+            from ..ops.pallas.attention import (fused_attention_qkv,
+                                                fused_attention_qkv_t,
+                                                supported)
 
             use_fused = supported(n_seq, self.head_dim, self.attn_dropout_rate)
         if use_fused:
-            # packed layout straight from the projection: q/k/v slicing
-            # happens inside the kernel on the VMEM block (no HBM copies)
-            out = fused_attention_qkv(qkv, scale, self.num_heads)
+            if os.environ.get("VST_PALLAS_ATTN_T") == "1":
+                # sequence-major experiment: the logical transposes line up
+                # with XLA's preferred {2,0,1} physical layouts around the
+                # custom-calls (see ops/pallas/attention.py + PERF.md)
+                out_t = fused_attention_qkv_t(
+                    jnp.transpose(qkv, (1, 0, 2)), scale, self.num_heads)
+                out = jnp.transpose(out_t, (1, 0, 2))
+            else:
+                # packed layout straight from the projection: q/k/v slicing
+                # happens inside the kernel on the VMEM block (no HBM copies)
+                out = fused_attention_qkv(qkv, scale, self.num_heads)
         else:
             qkv = qkv.reshape(batch, n_seq, 3, self.num_heads, self.head_dim)
             q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]

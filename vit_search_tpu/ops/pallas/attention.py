@@ -262,6 +262,127 @@ def _attn_qkv_bwd(scale, num_heads, residuals, g):
 fused_attention_qkv.defvjp(_attn_qkv_fwd, _attn_qkv_bwd)
 
 
+# ---------------------------------------------------------------------------
+# Experimental sequence-major variant (VST_PALLAS_ATTN_T=1, see PERF.md).
+#
+# XLA's layout assignment prefers {2,0,1} (sequence-major physical order)
+# for the fusion outputs feeding these custom-calls, while pallas_call pins
+# default {2,1,0} layouts — profiled at ~13 ms/step of layout copies.  This
+# variant moves the kernel's logical shapes to (N, B, 3W): the host-side
+# transpose then *matches* the producer's preferred physical layout, so XLA
+# can assign layouts that make the transposes bitcasts.  The price is one
+# in-VMEM swapaxes per head-output inside the kernels.
+# ---------------------------------------------------------------------------
+
+_QK_T_SEQ = (((2,), (2,)), ((1,), (1,)))  # (N,G,D) x (M,G,D) -> (G,N,M)
+_PV_SEQ = (((2,), (0,)), ((0,), (1,)))    # (G,N,M) x (M,G,D) -> (G,N,D)
+_PT_DO_SEQ = (((1,), (0,)), ((0,), (1,)))  # (G,N,M) x (N,G,D) -> (G,M,D)
+
+
+def _fwd_kernel_qkv_t(qkv_ref, o_ref, *, scale: float, num_heads: int):
+    """Forward over sequence-major packed projection ``(N, G, 3*W)``."""
+    width = o_ref.shape[-1]
+    d = width // num_heads
+    for h in range(num_heads):
+        q = qkv_ref[:, :, h * d:(h + 1) * d].astype(jnp.float32)
+        k = qkv_ref[:, :, width + h * d:width + (h + 1) * d].astype(jnp.float32)
+        s = jax.lax.dot_general(q, k, _QK_T_SEQ,
+                                preferred_element_type=jnp.float32) * scale
+        p = _softmax_rows(s)
+        v = qkv_ref[:, :, 2 * width + h * d:2 * width + (h + 1) * d]
+        o = jax.lax.dot_general(p.astype(v.dtype), v, _PV_SEQ,
+                                preferred_element_type=jnp.float32)
+        o_ref[:, :, h * d:(h + 1) * d] = jnp.swapaxes(o, 0, 1).astype(o_ref.dtype)
+
+
+def _bwd_kernel_qkv_t(qkv_ref, do_ref, dqkv_ref, *, scale: float,
+                      num_heads: int):
+    """Backward over sequence-major blocks; packed (N, G, 3W) cotangent."""
+    width = do_ref.shape[-1]
+    d = width // num_heads
+    for h in range(num_heads):
+        qsl = slice(h * d, (h + 1) * d)
+        ksl = slice(width + h * d, width + (h + 1) * d)
+        vsl = slice(2 * width + h * d, 2 * width + (h + 1) * d)
+        q = qkv_ref[:, :, qsl].astype(jnp.float32)   # (N, G, D)
+        k = qkv_ref[:, :, ksl].astype(jnp.float32)
+        v = qkv_ref[:, :, vsl].astype(jnp.float32)
+        do = do_ref[:, :, qsl].astype(jnp.float32)
+
+        s = jax.lax.dot_general(q, k, _QK_T_SEQ,
+                                preferred_element_type=jnp.float32) * scale
+        p = _softmax_rows(s)                          # (G, N, M)
+
+        dv = jax.lax.dot_general(p, do, _PT_DO_SEQ,
+                                 preferred_element_type=jnp.float32)
+        dp = jax.lax.dot_general(do, v,
+                                 (((2,), (2,)), ((1,), (1,))),
+                                 preferred_element_type=jnp.float32)  # (G,N,M)
+        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+        dq = jax.lax.dot_general(ds, k, _PV_SEQ,
+                                 preferred_element_type=jnp.float32) * scale
+        dk = jax.lax.dot_general(ds, q, _PT_DO_SEQ,
+                                 preferred_element_type=jnp.float32) * scale
+
+        dqkv_ref[:, :, qsl] = jnp.swapaxes(dq, 0, 1).astype(dqkv_ref.dtype)
+        dqkv_ref[:, :, ksl] = jnp.swapaxes(dk, 0, 1).astype(dqkv_ref.dtype)
+        dqkv_ref[:, :, vsl] = jnp.swapaxes(dv, 0, 1).astype(dqkv_ref.dtype)
+
+
+def _spec_t(g: int, n: int, width: int):
+    return pl.BlockSpec((n, g, width), lambda i: (0, i, 0),
+                        memory_space=pltpu.VMEM)
+
+
+def _fwd_call_qkv_t(qkv: Array, scale: float, num_heads: int) -> Array:
+    n, b, width3 = qkv.shape
+    width = width3 // 3
+    g = _pick_group(b, n, width, score_tiles=2, io_rows=4,
+                    itemsize=qkv.dtype.itemsize)
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel_qkv_t, scale=scale, num_heads=num_heads),
+        grid=(b // g,),
+        in_specs=[_spec_t(g, n, width3)],
+        out_specs=_spec_t(g, n, width),
+        out_shape=jax.ShapeDtypeStruct((n, b, width), qkv.dtype),
+        interpret=_interpret(),
+    )(qkv)
+
+
+def _bwd_call_qkv_t(qkv: Array, do: Array, scale: float,
+                    num_heads: int) -> Array:
+    n, b, width3 = qkv.shape
+    width = width3 // 3
+    g = _pick_group(b, n, width, score_tiles=3, io_rows=7,
+                    itemsize=qkv.dtype.itemsize)
+    return pl.pallas_call(
+        functools.partial(_bwd_kernel_qkv_t, scale=scale, num_heads=num_heads),
+        grid=(b // g,),
+        in_specs=[_spec_t(g, n, width3), _spec_t(g, n, width)],
+        out_specs=_spec_t(g, n, width3),
+        out_shape=jax.ShapeDtypeStruct((n, b, width3), qkv.dtype),
+        interpret=_interpret(),
+    )(qkv, do)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def fused_attention_qkv_t(qkv_t: Array, scale: float, num_heads: int) -> Array:
+    """Sequence-major fused attention: ``(N, B, 3W) -> (N, B, W)``."""
+    return _attn_qkv_t_fwd(qkv_t, scale, num_heads)[0]
+
+
+def _attn_qkv_t_fwd(qkv_t, scale, num_heads):
+    return _fwd_call_qkv_t(qkv_t, scale, num_heads), (qkv_t,)
+
+
+def _attn_qkv_t_bwd(scale, num_heads, residuals, g):
+    (qkv_t,) = residuals
+    return (_bwd_call_qkv_t(qkv_t, g, scale, num_heads),)
+
+
+fused_attention_qkv_t.defvjp(_attn_qkv_t_fwd, _attn_qkv_t_bwd)
+
+
 def fused_attention(q: Array, k: Array, v: Array, scale: float) -> Array:
     """softmax(q @ k^T * scale) @ v over (B, N, H, D) inputs."""
     b, n, h, d = q.shape

@@ -62,6 +62,11 @@ CLASSES = 10
 def _install_timm_shim(torch):
     """The five symbols reference nets/ imports from timm — all trivial
     utilities; none participates in the type-4 conv-stem forward path."""
+    import importlib.util
+
+    if importlib.util.find_spec("timm") is not None:
+        return  # a real timm install exists; let the reference import it
+
     import torch.nn as nn
 
     timm = types.ModuleType("timm")
@@ -110,17 +115,25 @@ def _install_timm_shim(torch):
 
 def load_reference_model(torch):
     _install_timm_shim(torch)
+    patched_cuda = None
     if not torch.cuda.is_available():
         # the reference hard-codes .cuda() at construction
-        # (vit_sr_supernet.py:99, SURVEY 2.9) — route to CPU
+        # (vit_sr_supernet.py:99, SURVEY 2.9) — route to CPU; the patch is
+        # restored after construction so in-process callers (the parity
+        # tests) don't inherit a mutated torch.Tensor
+        patched_cuda = torch.Tensor.cuda
         torch.Tensor.cuda = lambda self, *a, **k: self
-    pkg = types.ModuleType("refnets")
-    pkg.__path__ = [os.path.join(REFERENCE, "nets")]
-    sys.modules["refnets"] = pkg
-    vit_sr = importlib.import_module("refnets.vit_sr_supernet")
-    model = vit_sr.FlexibleDistillVisionTransformerSR(
-        network_def=NET, img_size=IMG, patch_size=14, num_classes=CLASSES,
-        distill_token=False, drop_rate=0.0, drop_path_rate=0.0)
+    try:
+        pkg = types.ModuleType("refnets")
+        pkg.__path__ = [os.path.join(REFERENCE, "nets")]
+        sys.modules["refnets"] = pkg
+        vit_sr = importlib.import_module("refnets.vit_sr_supernet")
+        model = vit_sr.FlexibleDistillVisionTransformerSR(
+            network_def=NET, img_size=IMG, patch_size=14, num_classes=CLASSES,
+            distill_token=False, drop_rate=0.0, drop_path_rate=0.0)
+    finally:
+        if patched_cuda is not None:
+            torch.Tensor.cuda = patched_cuda
     return model
 
 

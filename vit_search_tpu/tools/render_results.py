@@ -91,8 +91,13 @@ Identical retraining recipe (epochs, LR schedule, token mixup, erasing):
         for sd in seeds_list:
             row = [f"{by_seed[t][sd]:.2f}%" if sd in by_seed[t] else "—"
                    for t in tags]
-            if "random" in tags and sd in by_seed["random"]:
-                row.append(f"+{by_seed['winner'][sd] - by_seed['random'][sd]:.2f}")
+            if "random" in tags:
+                # placeholder keeps the row width matching the header even
+                # when this seed has no random-control run
+                row.append(
+                    f"+{by_seed['winner'][sd] - by_seed['random'][sd]:.2f}"
+                    if sd in by_seed["random"] and sd in by_seed["winner"]
+                    else "—")
             md += f"| {sd} | " + " | ".join(row) + " |\n"
         import statistics
         for t in tags:

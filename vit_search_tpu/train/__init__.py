@@ -1,7 +1,8 @@
 """Training layer: losses, optimizer, steps, state, checkpointing."""
 
 from . import checkpoint, engine, losses, optim, state
-from .checkpoint import CheckpointManager, restore_raw
+from .checkpoint import (CheckpointManager, restore_raw,
+                         unpack_checkpoint_archive)
 from .engine import (TrainConfig, make_eval_step,
                      make_per_example_correct_step, make_train_step)
 from .losses import (cross_entropy, distillation_loss,
@@ -31,6 +32,7 @@ __all__ = [
     "make_train_step",
     "optim",
     "restore_raw",
+    "unpack_checkpoint_archive",
     "soft_target_cross_entropy",
     "state",
     "top_k_correct",

@@ -71,6 +71,44 @@ class CheckpointManager:
         return "checkpoint" if self.exists("checkpoint") else None
 
 
+def unpack_checkpoint_archive(path: str) -> str:
+    """Extract a ``.zip``/``.tar[.gz]`` of an orbax checkpoint directory.
+
+    Supports ``--resume http(s)://...`` (reference main.py:402-404 resumes
+    from URLs via torch.hub): an orbax checkpoint is a *directory*, so over
+    HTTP it travels as an archive.  Extraction is idempotent (a ``.ok``
+    marker next to the archive) and returns the inner checkpoint directory
+    (the one holding orbax's ``_METADATA``/``_CHECKPOINT_METADATA``).
+    """
+    import shutil
+
+    lower = path.lower()
+    if not lower.endswith((".zip", ".tar", ".tar.gz", ".tgz")):
+        return path
+    dest = path + ".extracted"
+    marker = dest + ".ok"
+    if not os.path.exists(marker):
+        if os.path.isdir(dest):
+            shutil.rmtree(dest)
+        shutil.unpack_archive(path, dest)
+        with open(marker, "w") as f:
+            f.write("ok")
+    found = []
+    for root, dirs, files in os.walk(dest):
+        if "_METADATA" in files or "_CHECKPOINT_METADATA" in files:
+            found.append(root)
+            dirs.clear()  # don't descend into the checkpoint itself
+    if not found:
+        raise FileNotFoundError(
+            f"{path}: archive contains no orbax checkpoint directory")
+    # archives of a whole checkpoints/ dir hold several (best, epoch@N...):
+    # prefer the canonical resume target
+    for root in sorted(found):
+        if os.path.basename(root) == "checkpoint":
+            return root
+    return sorted(found)[0]
+
+
 def restore_raw(path: str) -> Dict[str, Any]:
     """Load a checkpoint as raw numpy trees (no target structure).
 

@@ -104,6 +104,10 @@ def timm_epoch_lrs(config: OptimConfig) -> np.ndarray:
             f"--sched {sched!r} is not implemented (supported: cosine, "
             f"step, tanh; timm's 'plateau' is metric-driven and has no "
             f"counterpart here). Refusing to silently train with cosine.")
+    if sched == "step" and not config.decay_epochs > 0:
+        raise ValueError(
+            f"--decay-epochs must be > 0 for --sched step "
+            f"(got {config.decay_epochs})")
     lrs = np.empty((epochs,), np.float64)
     for t in range(epochs):
         if warmup_t and t < warmup_t:
