@@ -473,3 +473,21 @@ def test_gelu_flag_numerics(monkeypatch):
     # the CLI flag plumbs through the same knob
     args = _train_args(["--model", "tiny_test_patch7_28", "--gelu", "tanh"])
     assert args.gelu == "tanh"
+
+
+def test_train_sync_window_invariance(tmp_path, monkeypatch):
+    """VST_TRAIN_SYNC_EVERY only changes WHEN metrics are fetched, never
+    their values: per-epoch logged losses are identical at cadence 1 vs 4."""
+    from vit_search_tpu.cli import train as train_cli
+
+    curves = {}
+    for cadence in ("1", "4"):
+        monkeypatch.setenv("VST_TRAIN_SYNC_EVERY", cadence)
+        out = str(tmp_path / f"sync{cadence}")
+        args = _train_args([
+            "--model", "tiny_test_patch7_28", "--no-model-ema",
+            "--output_dir", out])
+        train_cli.main(args)
+        with open(os.path.join(out, "log.txt")) as f:
+            curves[cadence] = [json.loads(line)["train_loss"] for line in f]
+    assert curves["1"] == curves["4"]
