@@ -340,6 +340,69 @@ def test_resume_from_url(supernet_run, tmp_path, monkeypatch):
     assert result["epoch"] == ckpt_epoch + 1
 
 
+def test_resume_from_torch_url_ema_epoch(tmp_path, monkeypatch):
+    """--resume http://...pth on a reference-format *training* checkpoint
+    follows main.py:402-416 semantics: --eval prefers model_ema over model;
+    a training resume restores the epoch (LR-schedule position) and seeds
+    EMA from the checkpoint (optimizer moments restart, logged loudly)."""
+    import http.server
+    import threading
+
+    torch = pytest.importorskip("torch")
+    import jax
+    import jax.numpy as jnp
+
+    from test_convert_torch import _synth_torch_sd
+
+    from vit_search_tpu.cli import train as train_cli
+    from vit_search_tpu.models import create_model
+
+    model = create_model("tiny_test_patch7_28")
+    zeros = jnp.zeros((1, 28, 28, 3), jnp.float32)
+    params_a = model.init(jax.random.PRNGKey(11), zeros)["params"]
+    params_b = model.init(jax.random.PRNGKey(22), zeros)["params"]
+    to_torch = lambda sd: {k: torch.from_numpy(np.ascontiguousarray(v))
+                           for k, v in sd.items()}
+    sd_a = to_torch(_synth_torch_sd(params_a, {}, TEST_NET, patch=7))
+    sd_b = to_torch(_synth_torch_sd(params_b, {}, TEST_NET, patch=7))
+
+    serve_dir = tmp_path / "www"
+    serve_dir.mkdir()
+    torch.save({"model": sd_a, "model_ema": sd_b, "epoch": 2},
+               serve_dir / "full.pth")
+    torch.save({"model": sd_b}, serve_dir / "ema_as_model.pth")
+
+    handler = lambda *a, **kw: http.server.SimpleHTTPRequestHandler(
+        *a, directory=str(serve_dir), **kw)
+    httpd = http.server.HTTPServer(("127.0.0.1", 0), handler)
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    base_url = f"http://127.0.0.1:{httpd.server_port}"
+    monkeypatch.setenv("VST_HUB_CACHE", str(tmp_path / "cache"))
+
+    try:
+        # eval of the full ckpt must use model_ema (weights B), i.e. match
+        # evaluating a ckpt whose 'model' IS B
+        stats_full = train_cli.main(_train_args(
+            ["--model", "tiny_test_patch7_28", "--no-model-ema", "--eval",
+             "--resume", f"{base_url}/full.pth"]))["eval"]
+        stats_b = train_cli.main(_train_args(
+            ["--model", "tiny_test_patch7_28", "--no-model-ema", "--eval",
+             "--resume", f"{base_url}/ema_as_model.pth"]))["eval"]
+        assert np.allclose(stats_full["acc1"], stats_b["acc1"])
+        assert np.allclose(stats_full["loss"], stats_b["loss"], rtol=1e-6)
+
+        # training resume: continues at epoch 3 (ckpt epoch 2 + 1), EMA on
+        out = str(tmp_path / "resumed")
+        result = train_cli.main(_train_args(
+            ["--model", "tiny_test_patch7_28", "--model-ema",
+             "--model-ema-decay", "0.9", "--output_dir", out,
+             "--resume", f"{base_url}/full.pth", "--epochs", "4"]))
+    finally:
+        httpd.shutdown()
+    assert result["epoch"] == 3
+    assert "ema_test_acc1" in result
+
+
 def test_preemption_checkpoint_and_resume(tmp_path):
     """SIGTERM mid-training checkpoints and exits cleanly; a relaunch with
     --resume auto continues to completion (the submitit-requeue contract,

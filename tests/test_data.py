@@ -523,6 +523,19 @@ class _DyingDataset(SyntheticDataset):
         return super().load(index, rng)
 
 
+def test_thread_loader_worker_exception_propagates():
+    """Default (thread) backend: a worker exception must fail the run
+    loudly too — previously the thread died silently and the consumer
+    blocked forever (advisor round-4 finding)."""
+    ds = _RaisingDataset(bad_index=5, num_classes=4, size=8, length=16,
+                         img_size=8, transform=EvalTransform(size=8))
+    loader = DataLoader(ds, ShardedSampler(len(ds), 1, 0, shuffle=False), 4,
+                        num_workers=2, drop_last=True, seed=0,
+                        worker_backend="thread")
+    with pytest.raises(RuntimeError, match="worker failed"):
+        list(loader)
+
+
 def test_process_loader_worker_exception_propagates():
     """A worker exception must fail the run loudly, not wedge the parent
     in res_q.get() forever (advisor round-3 finding)."""

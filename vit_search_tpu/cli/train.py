@@ -198,6 +198,22 @@ def build_teacher(ckpt_path: str, default_model: str, num_classes: int,
 
 
 def main(args) -> dict:
+    # GELU flavor is a trace-time compute knob like VST_PALLAS_ATTN (see
+    # models/layers.py); the flag sets it for the duration of this run and
+    # is restored after, so later in-process callers (tests, studies,
+    # hub.load users) trace with their own — not this run's — flavor.
+    prior_gelu = os.environ.get("VST_GELU")
+    os.environ["VST_GELU"] = args.gelu
+    try:
+        return _main(args)
+    finally:
+        if prior_gelu is None:
+            os.environ.pop("VST_GELU", None)
+        else:
+            os.environ["VST_GELU"] = prior_gelu
+
+
+def _main(args) -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -206,11 +222,6 @@ def main(args) -> dict:
 
     if args.device == "cpu":
         jax.config.update("jax_platforms", "cpu")
-
-    # GELU flavor is a trace-time compute knob like VST_PALLAS_ATTN (see
-    # models/layers.py); the flag sets it for this process so in-process
-    # callers (tests, studies) each get their own value.
-    os.environ["VST_GELU"] = args.gelu
 
     if args.drop_block is not None:
         # Every model family here is ViT/DeiT — none has a drop-block op.
@@ -379,12 +390,43 @@ def main(args) -> dict:
 
             local = hub.download(args.resume)
             if local.endswith(hub.TORCH_SUFFIXES):
-                variables = hub._load_torch_variables(local, model)
-                state = state.replace(
-                    params=parallel.replicate(mesh, variables["params"]))
+                # Reference-format torch checkpoint (main.py:402-416):
+                # model weights (+ BN buffers), EMA weights, epoch.  The
+                # torch optimizer/scheduler states have no optax layout to
+                # restore into — the epoch restore resumes the (stateless)
+                # LR schedule at the right position, but Adam moments
+                # restart; said loudly below.
+                from ..tools.convert_torch import (convert_state_dict,
+                                                   load_torch_checkpoint)
+
+                state_dicts = load_torch_checkpoint(local)
+                t_params, t_stats = convert_state_dict(state_dicts["model"],
+                                                       model.network_def)
+                t_ema = None
+                if "model_ema" in state_dicts:
+                    t_ema, _ = convert_state_dict(state_dicts["model_ema"],
+                                                  model.network_def)
+                if args.eval and t_ema is not None:
+                    # "when evaluating, use model_ema" (main.py:415-416)
+                    t_params = t_ema
+                replace = {"params": parallel.replicate(mesh, t_params)}
+                if t_stats:
+                    replace["batch_stats"] = parallel.replicate(mesh, t_stats)
+                if (args.model_ema and t_ema is not None
+                        and state.ema_params is not None):
+                    replace["ema_params"] = parallel.replicate(mesh, t_ema)
+                state = state.replace(**replace)
                 meta = {}
-                logger.info(f"resumed torch weights (params only) from "
-                            f"{args.resume}")
+                if not args.eval and "epoch" in state_dicts:
+                    meta["epoch"] = state_dicts["epoch"]
+                    logger.warning(
+                        "resume from torch checkpoint: epoch/LR schedule "
+                        "and EMA restored, but torch optimizer moments "
+                        "have no optax counterpart — optimizer state "
+                        "restarts fresh")
+                logger.info(f"resumed torch weights from {args.resume} "
+                            f"(ema={'yes' if t_ema is not None else 'no'}, "
+                            f"batch_stats={'yes' if t_stats else 'no'})")
             else:
                 ckpt_dir = train.unpack_checkpoint_archive(local)
                 mgr = train.CheckpointManager(os.path.dirname(ckpt_dir),

@@ -127,6 +127,8 @@ class DataLoader:
         backlog_free = threading.Condition()
 
         def worker(worker_id: int):
+            import traceback
+
             while not stop.is_set():
                 with backlog_free:
                     while (len(results) >= backlog_limit
@@ -136,11 +138,19 @@ class DataLoader:
                     bi, batch_indices = job_q.get_nowait()
                 except queue.Empty:
                     return
-                item = _load_batch(self.dataset, self.seed, self.epoch,
-                                   bi, batch_indices)
+                try:
+                    item = _load_batch(self.dataset, self.seed, self.epoch,
+                                       bi, batch_indices)
+                except BaseException:
+                    # A corrupt image must fail the run loudly, not leave
+                    # the emitter waiting on this batch index forever (same
+                    # contract as the process backend's _WorkerFailure).
+                    item = _WorkerFailure(traceback.format_exc())
                 with results_ready:
                     results[bi] = item
                     results_ready.notify_all()
+                if isinstance(item, _WorkerFailure):
+                    return
 
         threads = [threading.Thread(target=worker, args=(w,), daemon=True)
                    for w in range(self.num_workers)]
@@ -174,6 +184,9 @@ class DataLoader:
                 item = out_q.get()
                 if item is None:
                     break
+                if isinstance(item, _WorkerFailure):
+                    raise RuntimeError("data loader worker failed:\n"
+                                       + item.formatted_traceback)
                 yield item
         finally:
             stop.set()

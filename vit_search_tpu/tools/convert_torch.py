@@ -134,6 +134,10 @@ def load_torch_checkpoint(path: str) -> Dict[str, Dict[str, np.ndarray]]:
     if not out:  # bare state dict
         out["model"] = {k.replace("module.", ""): v.numpy()
                         for k, v in blob.items()}
+    elif "epoch" in blob:
+        # training checkpoints carry the epoch (reference main.py:409-411);
+        # resume uses it to continue the LR schedule at epoch+1
+        out["epoch"] = int(blob["epoch"])
     return out
 
 

@@ -90,7 +90,15 @@ def unpack_checkpoint_archive(path: str) -> str:
     if not os.path.exists(marker):
         if os.path.isdir(dest):
             shutil.rmtree(dest)
-        shutil.unpack_archive(path, dest)
+        if lower.endswith((".tar", ".tar.gz", ".tgz")):
+            # filter="data" rejects ../ and absolute member paths (tar-slip):
+            # --resume URLs are untrusted input
+            import tarfile
+
+            with tarfile.open(path) as tf:
+                tf.extractall(dest, filter="data")
+        else:
+            shutil.unpack_archive(path, dest)
         with open(marker, "w") as f:
             f.write("ok")
     found = []
