@@ -271,28 +271,32 @@ fused_attention_qkv.defvjp(_attn_qkv_fwd, _attn_qkv_bwd)
 # variant moves the kernel's logical shapes to (N, B, 3W): the host-side
 # transpose then *matches* the producer's preferred physical layout, so XLA
 # can assign layouts that make the transposes bitcasts.  The price is one
-# in-VMEM swapaxes per head-output inside the kernels.
+# in-VMEM block relayout on kernel entry and one on the store (Mosaic
+# requires dot batch dims at position 0, so the dots run batch-major).
 # ---------------------------------------------------------------------------
 
-_QK_T_SEQ = (((2,), (2,)), ((1,), (1,)))  # (N,G,D) x (M,G,D) -> (G,N,M)
-_PV_SEQ = (((2,), (0,)), ((0,), (1,)))    # (G,N,M) x (M,G,D) -> (G,N,D)
-_PT_DO_SEQ = (((1,), (0,)), ((0,), (1,)))  # (G,N,M) x (N,G,D) -> (G,M,D)
-
-
 def _fwd_kernel_qkv_t(qkv_ref, o_ref, *, scale: float, num_heads: int):
-    """Forward over sequence-major packed projection ``(N, G, 3*W)``."""
+    """Forward over sequence-major packed projection ``(N, G, 3*W)``.
+
+    Mosaic requires dot_general batch dims at operand position 0, so the
+    block is relayouted to batch-major ONCE in VMEM (one swapaxes in, one
+    out) and the per-head loop reuses the batch-major dots.
+    """
     width = o_ref.shape[-1]
     d = width // num_heads
+    qkv = jnp.swapaxes(qkv_ref[...], 0, 1)  # (G, N, 3W)
+    outs = []
     for h in range(num_heads):
-        q = qkv_ref[:, :, h * d:(h + 1) * d].astype(jnp.float32)
-        k = qkv_ref[:, :, width + h * d:width + (h + 1) * d].astype(jnp.float32)
-        s = jax.lax.dot_general(q, k, _QK_T_SEQ,
+        q = qkv[:, :, h * d:(h + 1) * d].astype(jnp.float32)
+        k = qkv[:, :, width + h * d:width + (h + 1) * d].astype(jnp.float32)
+        s = jax.lax.dot_general(q, k, _QK_T,
                                 preferred_element_type=jnp.float32) * scale
         p = _softmax_rows(s)
-        v = qkv_ref[:, :, 2 * width + h * d:2 * width + (h + 1) * d]
-        o = jax.lax.dot_general(p.astype(v.dtype), v, _PV_SEQ,
+        v = qkv[:, :, 2 * width + h * d:2 * width + (h + 1) * d]
+        o = jax.lax.dot_general(p.astype(v.dtype), v, _PV,
                                 preferred_element_type=jnp.float32)
-        o_ref[:, :, h * d:(h + 1) * d] = jnp.swapaxes(o, 0, 1).astype(o_ref.dtype)
+        outs.append(o.astype(o_ref.dtype))
+    o_ref[...] = jnp.swapaxes(jnp.concatenate(outs, axis=-1), 0, 1)
 
 
 def _bwd_kernel_qkv_t(qkv_ref, do_ref, dqkv_ref, *, scale: float,
@@ -300,33 +304,32 @@ def _bwd_kernel_qkv_t(qkv_ref, do_ref, dqkv_ref, *, scale: float,
     """Backward over sequence-major blocks; packed (N, G, 3W) cotangent."""
     width = do_ref.shape[-1]
     d = width // num_heads
+    qkv = jnp.swapaxes(qkv_ref[...], 0, 1)   # (G, N, 3W)
+    do_all = jnp.swapaxes(do_ref[...], 0, 1)  # (G, N, W)
+    dqs, dks, dvs = [], [], []
     for h in range(num_heads):
         qsl = slice(h * d, (h + 1) * d)
-        ksl = slice(width + h * d, width + (h + 1) * d)
-        vsl = slice(2 * width + h * d, 2 * width + (h + 1) * d)
-        q = qkv_ref[:, :, qsl].astype(jnp.float32)   # (N, G, D)
-        k = qkv_ref[:, :, ksl].astype(jnp.float32)
-        v = qkv_ref[:, :, vsl].astype(jnp.float32)
-        do = do_ref[:, :, qsl].astype(jnp.float32)
+        q = qkv[:, :, qsl].astype(jnp.float32)   # (G, N, D)
+        k = qkv[:, :, width + h * d:width + (h + 1) * d].astype(jnp.float32)
+        v = qkv[:, :, 2 * width + h * d:2 * width + (h + 1) * d].astype(jnp.float32)
+        do = do_all[:, :, qsl].astype(jnp.float32)
 
-        s = jax.lax.dot_general(q, k, _QK_T_SEQ,
+        s = jax.lax.dot_general(q, k, _QK_T,
                                 preferred_element_type=jnp.float32) * scale
         p = _softmax_rows(s)                          # (G, N, M)
 
-        dv = jax.lax.dot_general(p, do, _PT_DO_SEQ,
-                                 preferred_element_type=jnp.float32)
-        dp = jax.lax.dot_general(do, v,
-                                 (((2,), (2,)), ((1,), (1,))),
-                                 preferred_element_type=jnp.float32)  # (G,N,M)
+        dv = jax.lax.dot_general(p, do, _PT_DO, preferred_element_type=jnp.float32)
+        dp = jax.lax.dot_general(do, v, _QK_T, preferred_element_type=jnp.float32)
         ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
-        dq = jax.lax.dot_general(ds, k, _PV_SEQ,
+        dq = jax.lax.dot_general(ds, k, _PV,
                                  preferred_element_type=jnp.float32) * scale
-        dk = jax.lax.dot_general(ds, q, _PT_DO_SEQ,
+        dk = jax.lax.dot_general(ds, q, _PT_DO,
                                  preferred_element_type=jnp.float32) * scale
-
-        dqkv_ref[:, :, qsl] = jnp.swapaxes(dq, 0, 1).astype(dqkv_ref.dtype)
-        dqkv_ref[:, :, ksl] = jnp.swapaxes(dk, 0, 1).astype(dqkv_ref.dtype)
-        dqkv_ref[:, :, vsl] = jnp.swapaxes(dv, 0, 1).astype(dqkv_ref.dtype)
+        dqs.append(dq.astype(dqkv_ref.dtype))
+        dks.append(dk.astype(dqkv_ref.dtype))
+        dvs.append(dv.astype(dqkv_ref.dtype))
+    dqkv = jnp.concatenate(dqs + dks + dvs, axis=-1)  # (G, N, 3W)
+    dqkv_ref[...] = jnp.swapaxes(dqkv, 0, 1)
 
 
 def _spec_t(g: int, n: int, width: int):
