@@ -538,6 +538,54 @@ def test_gelu_flag_numerics(monkeypatch):
     assert args.gelu == "tanh"
 
 
+def test_mid_epoch_preemption_resume_equivalence(tmp_path, monkeypatch):
+    """A run preempted MID-epoch and resumed with --resume auto reproduces
+    the uninterrupted run BITWISE: the preemption checkpoint holds the
+    post-step state, and the resume skips the already-applied steps of the
+    interrupted epoch (advancing the arch-sampling host RNG through them)
+    instead of re-applying the whole epoch on top of the mid-epoch state.
+    Supernet config so the keep-count RNG advance is exercised too."""
+    from vit_search_tpu.cli import train as train_cli
+    from vit_search_tpu.train.checkpoint import restore_raw
+
+    common = ["--model", "tiny_test_patch7_28_supernet",
+              "--search-space", "tiny_test", "--example-per-arch", "4",
+              "--num-warmup-epochs", "0", "--no-model-ema",
+              "--epochs", "3"]
+
+    out_a = str(tmp_path / "uninterrupted")
+    train_cli.main(_train_args(common + ["--output_dir", out_a]))
+
+    class _FireAfter:  # deterministic stand-in for the SIGTERM event
+        def __init__(self, n):
+            self.left = n
+
+        def is_set(self):
+            self.left -= 1
+            return self.left < 0
+
+    # fire on the 7th post-step check: epoch 1 (of 3), step 2 (of 4) —
+    # strictly mid-epoch
+    out_b = str(tmp_path / "preempted")
+    monkeypatch.setattr(train_cli, "_PREEMPTED", _FireAfter(6))
+    result = train_cli.main(_train_args(common + ["--output_dir", out_b]))
+    assert result.get("preempted") and (result["epoch"], result["step"]) == (1, 2)
+
+    monkeypatch.setattr(train_cli, "_PREEMPTED", _FireAfter(10 ** 9))
+    resumed = train_cli.main(_train_args(
+        common + ["--output_dir", out_b, "--resume", "auto"]))
+    assert resumed["epoch"] == 2
+
+    a = restore_raw(os.path.join(out_a, "checkpoints", "checkpoint"))
+    b = restore_raw(os.path.join(out_b, "checkpoints", "checkpoint"))
+    import jax
+    leaves_a, treedef_a = jax.tree_util.tree_flatten(a["params"])
+    leaves_b, treedef_b = jax.tree_util.tree_flatten(b["params"])
+    assert treedef_a == treedef_b
+    for la, lb in zip(leaves_a, leaves_b):
+        assert np.array_equal(np.asarray(la), np.asarray(lb))
+
+
 def test_train_sync_window_invariance(tmp_path, monkeypatch):
     """VST_TRAIN_SYNC_EVERY only changes WHEN metrics are fetched, never
     their values: per-epoch logged losses are identical at cadence 1 vs 4."""

@@ -444,6 +444,36 @@ def _main(args) -> dict:
             start_epoch = int(meta.get("epoch", -1)) + 1
         logger.info(f"resumed from epoch {meta.get('epoch')}")
 
+    # Mid-epoch preemption resume: the preemption checkpoint holds the state
+    # AFTER global step `preempted_step`, so re-entering the interrupted
+    # epoch must SKIP the already-applied steps instead of re-applying them
+    # on top of the mid-epoch state.  Skipping is exact: the per-step device
+    # RNG keys off the restored ``state.step``, the arch keep-counts come
+    # from a ``(seed, epoch)``-keyed host RNG that is advanced through the
+    # skipped steps, and the loader order is a deterministic function of the
+    # epoch — so the resumed trajectory is bitwise identical to an
+    # uninterrupted run (tested: test_mid_epoch_preemption_resume_equivalence).
+    resume_skip_steps = 0
+    if args.resume and not args.eval and "preempted_step" in meta:
+        saved_spe = int(meta.get("steps_per_epoch", 0))
+        if saved_spe == steps_per_epoch and steps_per_epoch > 0:
+            done = int(meta["preempted_step"]) + 1  # steps fully applied
+            resume_skip_steps = done % steps_per_epoch
+            if resume_skip_steps == 0:  # preempted exactly at an epoch end
+                start_epoch = done // steps_per_epoch
+            else:
+                logger.info(
+                    f"mid-epoch resume: skipping the first "
+                    f"{resume_skip_steps} already-applied steps of epoch "
+                    f"{start_epoch}")
+        else:
+            logger.warning(
+                f"preempted checkpoint was saved with steps_per_epoch="
+                f"{saved_spe} but this run has {steps_per_epoch}; "
+                f"re-running the interrupted epoch from its start on the "
+                f"mid-epoch state (trajectory will differ from an "
+                f"uninterrupted run)")
+
     # --model-ema-force-cpu: the EMA copy lives in HOST memory and updates
     # there once per step — the reference's timm ModelEma(device='cpu')
     # device-memory workaround (reference main.py:136-137).  State is
@@ -522,10 +552,13 @@ def _main(args) -> dict:
 
     for epoch in range(start_epoch, args.epochs):
         loader_train.set_epoch(epoch)
+        skip_steps = resume_skip_steps if epoch == start_epoch else 0
         if schedules is not None:
             schedules.set_epoch(epoch)
-            # epoch-boundary rewiring during warmup (vit_sr_supernet.py:465-477)
-            if epoch <= args.num_warmup_epochs:
+            # epoch-boundary rewiring during warmup (vit_sr_supernet.py:465-477);
+            # NOT on a mid-epoch resume — the restored state was already
+            # rewired at this epoch's start before the preemption
+            if epoch <= args.num_warmup_epochs and skip_steps == 0:
                 state = state.replace(params=models.rewire_params(
                     state.params, network_def))
 
@@ -593,6 +626,10 @@ def _main(args) -> dict:
             # images is the GLOBAL (mesh-sharded) batch here
             counts = (schedules.sample_packed(host_rng, images.shape[0])
                       if schedules is not None else None)
+            if it < skip_steps:
+                # already applied before the preemption; the counts draw
+                # above advanced the host RNG past this step
+                continue
             state, metrics = train_step(state, images, labels, counts, rng)
             pending.append(metrics)
             steps_done += 1
@@ -619,6 +656,7 @@ def _main(args) -> dict:
                     ckpt.save_epoch(save_state, epoch - 1,
                                     metadata={"max_acc": max_acc,
                                               "preempted_step": global_step,
+                                              "steps_per_epoch": steps_per_epoch,
                                               "args": vars(args)})
                 return {"preempted": True, "epoch": epoch, "step": it}
 

@@ -134,9 +134,10 @@ class Attention(nn.Module):
             use_fused = supported(n_seq, self.head_dim, self.attn_dropout_rate)
         if use_fused:
             if os.environ.get("VST_PALLAS_ATTN_T") == "1":
-                # sequence-major experiment: the logical transposes line up
-                # with XLA's preferred {2,0,1} physical layouts around the
-                # custom-calls (see ops/pallas/attention.py + PERF.md)
+                # sequence-major experiment — REJECTED on TPU (Mosaic cannot
+                # compile any MXU feed from sequence-major blocks; see
+                # ops/pallas/attention.py + PERF.md round 5).  The flag and
+                # kernels remain as the measured record; CPU-interpret only.
                 out_t = fused_attention_qkv_t(
                     jnp.transpose(qkv, (1, 0, 2)), scale, self.num_heads)
                 out = jnp.transpose(out_t, (1, 0, 2))

@@ -22,6 +22,7 @@ for the context matmul, matching the plain-JAX path in models.layers.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Tuple
 
 import jax
@@ -263,73 +264,107 @@ fused_attention_qkv.defvjp(_attn_qkv_fwd, _attn_qkv_bwd)
 
 
 # ---------------------------------------------------------------------------
-# Experimental sequence-major variant (VST_PALLAS_ATTN_T=1, see PERF.md).
+# Sequence-major variant (VST_PALLAS_ATTN_T=1) — REJECTED on TPU, kept as
+# the measured record (PERF.md round 5) with CPU-interpret parity tests.
 #
-# XLA's layout assignment prefers {2,0,1} (sequence-major physical order)
-# for the fusion outputs feeding these custom-calls, while pallas_call pins
-# default {2,1,0} layouts — profiled at ~13 ms/step of layout copies.  This
-# variant moves the kernel's logical shapes to (N, B, 3W): the host-side
-# transpose then *matches* the producer's preferred physical layout, so XLA
-# can assign layouts that make the transposes bitcasts.  The price is one
-# in-VMEM block relayout on kernel entry and one on the store (Mosaic
-# requires dot batch dims at position 0, so the dots run batch-major).
+# Hypothesis: XLA's layout assignment prefers {2,0,1} (sequence-major
+# physical order) for the fusion outputs feeding these custom-calls, while
+# pallas_call pins default {2,1,0} layouts — profiled at ~13 ms/step of
+# layout copies.  Moving the kernel's logical shapes to (N, B, 3W) would
+# make the host-side transposes match the producer's preferred physical
+# layout, so XLA could assign layouts that make them bitcasts.
+#
+# Measured outcome (round 5): every way of feeding the MXU from a
+# sequence-major VMEM block fails to compile on Mosaic —
+#  (a) the (N, G, ·) block layout forces the group G into the
+#      second-to-last block dim, which Mosaic requires to be a multiple
+#      of 8; g=8 exceeds the 16 MB default scoped-VMEM budget at stage-1
+#      shapes (17.67 MB measured; fixable per-kernel via
+#      CompilerParams(vmem_limit_bytes), kept below);
+#  (b) whole-block in-VMEM swapaxes to batch-major: the Mosaic compile
+#      helper is OOM-killed (SIGKILL);
+#  (c) per-head (N, G, D) swapaxes: stage-1 forward compiles, backward
+#      compile exceeds 500 s (pathological relayout codegen at N=257);
+#  (d) per-(head, row) 2-D dots over natural (N, D) slices (the version
+#      below): "infer-vector-layout: unsupported shape cast" — squeezing
+#      the G dim out of a sequence-major block is not a relayout Mosaic
+#      can infer.
+# BlockSpec index maps cannot permute dims, so there is no fifth option:
+# the ~13 ms/step of layout copies around the batch-major custom-calls is
+# not removable from today's Pallas/Mosaic surface.
 # ---------------------------------------------------------------------------
+
+# 2-D dot dims for the sequence-major kernels: no batch dims at all, so the
+# (N, ...)-major refs are consumed in their natural orientation — no in-VMEM
+# relayouts (whole-block or per-head swapaxes both blow the Mosaic compile
+# at the g>=8 this layout forces; measured round 5).
+_QK_T2 = (((1,), (1,)), ((), ()))   # (N, D) x (N, D) -> (N, N)
+_PV2 = (((1,), (0,)), ((), ()))     # (N, N) x (N, D) -> (N, D)
+_PT2 = (((0,), (0,)), ((), ()))     # (N, N)^T x (N, D) -> (N, D)
+
 
 def _fwd_kernel_qkv_t(qkv_ref, o_ref, *, scale: float, num_heads: int):
     """Forward over sequence-major packed projection ``(N, G, 3*W)``.
 
-    Mosaic requires dot_general batch dims at operand position 0, so the
-    block is relayouted to batch-major ONCE in VMEM (one swapaxes in, one
-    out) and the per-head loop reuses the batch-major dots.
+    The per-(head, batch-row) dots are plain 2-D matmuls over natural
+    sequence-major slices — the MXU work is identical to the batch-major
+    kernel's batched dots (those unroll over the batch dim anyway), with
+    zero relayout code.
     """
     width = o_ref.shape[-1]
     d = width // num_heads
-    qkv = jnp.swapaxes(qkv_ref[...], 0, 1)  # (G, N, 3W)
-    outs = []
-    for h in range(num_heads):
-        q = qkv[:, :, h * d:(h + 1) * d].astype(jnp.float32)
-        k = qkv[:, :, width + h * d:width + (h + 1) * d].astype(jnp.float32)
-        s = jax.lax.dot_general(q, k, _QK_T,
-                                preferred_element_type=jnp.float32) * scale
-        p = _softmax_rows(s)
-        v = qkv[:, :, 2 * width + h * d:2 * width + (h + 1) * d]
-        o = jax.lax.dot_general(p.astype(v.dtype), v, _PV,
-                                preferred_element_type=jnp.float32)
-        outs.append(o.astype(o_ref.dtype))
-    o_ref[...] = jnp.swapaxes(jnp.concatenate(outs, axis=-1), 0, 1)
+    g = qkv_ref.shape[1]
+    for j in range(g):
+        for h in range(num_heads):
+            qsl = slice(h * d, (h + 1) * d)
+            q = qkv_ref[:, j, qsl].astype(jnp.float32)
+            k = qkv_ref[:, j, width + h * d:width + (h + 1) * d].astype(jnp.float32)
+            s = jax.lax.dot_general(q, k, _QK_T2,
+                                    preferred_element_type=jnp.float32) * scale
+            p = _softmax_rows(s)
+            v = qkv_ref[:, j, 2 * width + h * d:2 * width + (h + 1) * d]
+            o = jax.lax.dot_general(p.astype(v.dtype), v, _PV2,
+                                    preferred_element_type=jnp.float32)
+            o_ref[:, j, qsl] = o.astype(o_ref.dtype)
 
 
 def _bwd_kernel_qkv_t(qkv_ref, do_ref, dqkv_ref, *, scale: float,
                       num_heads: int):
-    """Backward over sequence-major blocks; packed (N, G, 3W) cotangent."""
+    """Backward over sequence-major blocks; packed (N, G, 3W) cotangent.
+
+    Per-(head, batch-row) 2-D dots over natural slices (see the forward
+    kernel's note) — cotangent slices store straight back into the
+    sequence-major ref, no relayouts.
+    """
     width = do_ref.shape[-1]
     d = width // num_heads
-    qkv = jnp.swapaxes(qkv_ref[...], 0, 1)   # (G, N, 3W)
-    do_all = jnp.swapaxes(do_ref[...], 0, 1)  # (G, N, W)
-    dqs, dks, dvs = [], [], []
-    for h in range(num_heads):
-        qsl = slice(h * d, (h + 1) * d)
-        q = qkv[:, :, qsl].astype(jnp.float32)   # (G, N, D)
-        k = qkv[:, :, width + h * d:width + (h + 1) * d].astype(jnp.float32)
-        v = qkv[:, :, 2 * width + h * d:2 * width + (h + 1) * d].astype(jnp.float32)
-        do = do_all[:, :, qsl].astype(jnp.float32)
+    g = do_ref.shape[1]
+    for j in range(g):
+        for h in range(num_heads):
+            qsl = slice(h * d, (h + 1) * d)
+            ksl = slice(width + h * d, width + (h + 1) * d)
+            vsl = slice(2 * width + h * d, 2 * width + (h + 1) * d)
+            q = qkv_ref[:, j, qsl].astype(jnp.float32)
+            k = qkv_ref[:, j, ksl].astype(jnp.float32)
+            v = qkv_ref[:, j, vsl].astype(jnp.float32)
+            do = do_ref[:, j, qsl].astype(jnp.float32)
 
-        s = jax.lax.dot_general(q, k, _QK_T,
-                                preferred_element_type=jnp.float32) * scale
-        p = _softmax_rows(s)                          # (G, N, M)
+            s = jax.lax.dot_general(q, k, _QK_T2,
+                                    preferred_element_type=jnp.float32) * scale
+            p = _softmax_rows(s)                          # (N, M)
 
-        dv = jax.lax.dot_general(p, do, _PT_DO, preferred_element_type=jnp.float32)
-        dp = jax.lax.dot_general(do, v, _QK_T, preferred_element_type=jnp.float32)
-        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
-        dq = jax.lax.dot_general(ds, k, _PV,
-                                 preferred_element_type=jnp.float32) * scale
-        dk = jax.lax.dot_general(ds, q, _PT_DO,
-                                 preferred_element_type=jnp.float32) * scale
-        dqs.append(dq.astype(dqkv_ref.dtype))
-        dks.append(dk.astype(dqkv_ref.dtype))
-        dvs.append(dv.astype(dqkv_ref.dtype))
-    dqkv = jnp.concatenate(dqs + dks + dvs, axis=-1)  # (G, N, 3W)
-    dqkv_ref[...] = jnp.swapaxes(dqkv, 0, 1)
+            dv = jax.lax.dot_general(p, do, _PT2,
+                                     preferred_element_type=jnp.float32)
+            dp = jax.lax.dot_general(do, v, _QK_T2,
+                                     preferred_element_type=jnp.float32)
+            ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+            dq = jax.lax.dot_general(ds, k, _PV2,
+                                     preferred_element_type=jnp.float32) * scale
+            dk = jax.lax.dot_general(ds, q, _PT2,
+                                     preferred_element_type=jnp.float32) * scale
+            dqkv_ref[:, j, qsl] = dq.astype(dqkv_ref.dtype)
+            dqkv_ref[:, j, ksl] = dk.astype(dqkv_ref.dtype)
+            dqkv_ref[:, j, vsl] = dv.astype(dqkv_ref.dtype)
 
 
 def _spec_t(g: int, n: int, width: int):
@@ -337,17 +372,45 @@ def _spec_t(g: int, n: int, width: int):
                         memory_space=pltpu.VMEM)
 
 
+def _pick_group_t(b: int, n: int, width: int, score_tiles: int,
+                  io_rows: int, itemsize: int = 2) -> int:
+    """Group size for the sequence-major blocks.
+
+    Mosaic requires the second-to-last block dim (the group, here) to be a
+    multiple of 8 or the full array dim, so the budget-picked group is
+    rounded UP to 8 when smaller — the _t layout cannot trade group size
+    below that for VMEM the way the batch-major kernels can.  This is a
+    structural handicap of the layout, measured in PERF.md round 5.
+    """
+    g = _pick_group(b, n, width, score_tiles, io_rows, itemsize)
+    if g % 8:
+        g = 8 if b % 8 == 0 else b
+    while b % g:
+        g -= 8
+    return max(g, min(8, b))
+
+
+def _params_t():
+    """The g>=8 the sequence-major layout forces needs more than the
+    16 MB default scoped-VMEM budget at stage-1 shapes; request a higher
+    per-kernel limit (honored only if the backend's
+    --xla_tpu_scoped_vmem_limit_kib ceiling allows it)."""
+    limit = int(os.environ.get("VST_ATTN_T_VMEM_MB", "40")) * 1024 * 1024
+    return pltpu.CompilerParams(vmem_limit_bytes=limit)
+
+
 def _fwd_call_qkv_t(qkv: Array, scale: float, num_heads: int) -> Array:
     n, b, width3 = qkv.shape
     width = width3 // 3
-    g = _pick_group(b, n, width, score_tiles=2, io_rows=4,
-                    itemsize=qkv.dtype.itemsize)
+    g = _pick_group_t(b, n, width, score_tiles=2, io_rows=4,
+                      itemsize=qkv.dtype.itemsize)
     return pl.pallas_call(
         functools.partial(_fwd_kernel_qkv_t, scale=scale, num_heads=num_heads),
         grid=(b // g,),
         in_specs=[_spec_t(g, n, width3)],
         out_specs=_spec_t(g, n, width),
         out_shape=jax.ShapeDtypeStruct((n, b, width), qkv.dtype),
+        compiler_params=_params_t(),
         interpret=_interpret(),
     )(qkv)
 
@@ -356,14 +419,15 @@ def _bwd_call_qkv_t(qkv: Array, do: Array, scale: float,
                     num_heads: int) -> Array:
     n, b, width3 = qkv.shape
     width = width3 // 3
-    g = _pick_group(b, n, width, score_tiles=3, io_rows=7,
-                    itemsize=qkv.dtype.itemsize)
+    g = _pick_group_t(b, n, width, score_tiles=3, io_rows=7,
+                      itemsize=qkv.dtype.itemsize)
     return pl.pallas_call(
         functools.partial(_bwd_kernel_qkv_t, scale=scale, num_heads=num_heads),
         grid=(b // g,),
         in_specs=[_spec_t(g, n, width3), _spec_t(g, n, width)],
         out_specs=_spec_t(g, n, width3),
         out_shape=jax.ShapeDtypeStruct((n, b, width3), qkv.dtype),
+        compiler_params=_params_t(),
         interpret=_interpret(),
     )(qkv, do)
 
