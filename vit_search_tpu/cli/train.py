@@ -570,7 +570,8 @@ def _main(args) -> dict:
         # them in one blocking fetch every `sync_every` steps, so the step
         # loop never waits on the device between syncs (the per-step
         # float(loss) round-trip was the CLI-vs-bench throughput gap, see
-        # PERF.md round 4).  Deviation from the reference (engine.py:170-173):
+        # PERF.md round 5 "CLI-path throughput" for the measured cadence
+        # cost over the tunnel).  Deviation from the reference (engine.py:170-173):
         # the non-finite-loss abort fires at window granularity, up to
         # sync_every-1 steps after the bad step.
         sync_every = max(1, int(os.environ.get(
@@ -582,15 +583,26 @@ def _main(args) -> dict:
         def drain_pending():
             if not pending:
                 return
-            fetched = jax.device_get(pending)
+            # stack the window's scalars ON DEVICE so the blocking fetch
+            # moves one small array per metric key instead of one scalar
+            # per (step, key) — over a remote/tunneled backend each
+            # transfer is a round trip, and the per-scalar version
+            # measured ~0.9 s per 10-step drain (PERF.md round 5
+            # "CLI-path throughput")
+            keys = list(pending[0])
+            stacked = {k: jnp.stack([mv[k] for mv in pending]) for k in keys}
+            fetched = jax.device_get(stacked)
+            n = len(pending)
             pending.clear()
-            for mv in fetched:
-                loss = float(mv["loss"])
+            for i in range(n):
+                loss = float(fetched["loss"][i])
                 if not np.isfinite(loss):
                     logger.error(f"Loss is {loss}, stopping training")
                     raise FloatingPointError(
                         f"non-finite loss at epoch {epoch}")
-                metric_logger.update(loss=loss, lr=float(mv.get("lr", 0.0)))
+                metric_logger.update(
+                    loss=loss,
+                    lr=(float(fetched["lr"][i]) if "lr" in fetched else 0.0))
         rng = jax.random.fold_in(epoch_rng, epoch)
         # arch sampling is host-independent (seeded by (seed, epoch) like
         # the reference RNG bracket, engine.py:119-132) but covers the
