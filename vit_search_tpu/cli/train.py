@@ -684,7 +684,13 @@ def _main(args) -> dict:
         train_stats["imgs_per_sec"] = epoch_imgs_per_sec
         logger.info(f"Averaged stats: {metric_logger}")
 
-        test_stats = run_eval(state.params)
+        # VST_BENCH_SKIP_EVAL: benchmarking-only companion to
+        # VST_BENCH_REUSE_BATCH — long synthetic epochs need no per-epoch
+        # eval pass (the throughput line above is the measurement; see
+        # PERF.md "CLI-path throughput")
+        skip_eval = (os.environ.get("VST_BENCH_REUSE_BATCH") == "1"
+                     and os.environ.get("VST_BENCH_SKIP_EVAL") == "1")
+        test_stats = {} if skip_eval else run_eval(state.params)
         ema_stats = {}
         ema_tree = host_ema if host_ema is not None else state.ema_params
         if args.model_ema and ema_tree is not None:
