@@ -586,6 +586,57 @@ def test_mid_epoch_preemption_resume_equivalence(tmp_path, monkeypatch):
         assert np.array_equal(np.asarray(la), np.asarray(lb))
 
 
+def test_mid_epoch_resume_steps_mismatch_falls_back(tmp_path, monkeypatch):
+    """If the resumed run's steps_per_epoch differs from the preemption
+    checkpoint's, the exact skip is impossible; the CLI re-runs the
+    interrupted epoch from its start and says so loudly."""
+    from vit_search_tpu.cli import train as train_cli
+
+    class _FireAfter:
+        def __init__(self, n):
+            self.left = n
+
+        def is_set(self):
+            self.left -= 1
+            return self.left < 0
+
+    out = str(tmp_path / "mismatch")
+    monkeypatch.setattr(train_cli, "_PREEMPTED", _FireAfter(6))
+    result = train_cli.main(_train_args(
+        ["--model", "tiny_test_patch7_28", "--no-model-ema",
+         "--epochs", "3", "--output_dir", out]))
+    assert result.get("preempted")
+
+    # resume with a different epoch length (2 steps instead of 4)
+    monkeypatch.setattr(train_cli, "_PREEMPTED", _FireAfter(10 ** 9))
+    resumed = train_cli.main(_train_args(
+        ["--model", "tiny_test_patch7_28", "--no-model-ema",
+         "--epochs", "3", "--max-steps-per-epoch", "2",
+         "--output_dir", out, "--resume", "auto"]))
+    assert resumed["epoch"] == 2  # ran to completion on the fallback path
+    with open(os.path.join(out, "verbose.log")) as f:
+        log = f.read()
+    assert "re-running the interrupted epoch from its start" in log
+
+
+def test_bench_skip_eval_knob(tmp_path, monkeypatch):
+    """VST_BENCH_SKIP_EVAL only acts inside the REUSE_BATCH benchmark mode
+    and drops the per-epoch eval pass (no test_* keys in the log)."""
+    from vit_search_tpu.cli import train as train_cli
+
+    monkeypatch.setenv("VST_BENCH_REUSE_BATCH", "1")
+    monkeypatch.setenv("VST_BENCH_SKIP_EVAL", "1")
+    out = str(tmp_path / "skipeval")
+    result = train_cli.main(_train_args(
+        ["--model", "tiny_test_patch7_28", "--no-model-ema",
+         "--output_dir", out]))
+    assert "test_acc1" not in result
+    assert np.isfinite(result["train_loss"])
+    with open(os.path.join(out, "log.txt")) as f:
+        for line in f:
+            assert "test_acc1" not in json.loads(line)
+
+
 def test_train_sync_window_invariance(tmp_path, monkeypatch):
     """VST_TRAIN_SYNC_EVERY only changes WHEN metrics are fetched, never
     their values: per-epoch logged losses are identical at cadence 1 vs 4."""
