@@ -250,6 +250,69 @@ def test_batched_eval_score_heads():
                                  loader, arch_batch=2, score_head="dst")
 
 
+def test_batched_eval_normalizes_uint8_like_engine():
+    """The production sub-val loader ships uint8 batches (data/loader.py;
+    normalization is device-side by design).  The tiled scoring step must
+    apply the engine's ImageNet normalization to them — the reference
+    normalizes search-eval batches in its GPU prefetch loader
+    (datasets.py:170-184 via evo_search.py:189-196).
+
+    A probe model whose prediction is the sign of the per-example pixel
+    mean discriminates the scales directly (a real supernet is almost
+    scale-invariant through its LayerNorms, which is exactly how a
+    missing normalization could hide): pixels at constant 100 have a
+    positive raw mean but a negative ImageNet-normalized mean
+    ((100/255 - 0.456) / std < 0 for every channel)."""
+    import jax.numpy as jnp
+
+    from vit_search_tpu.models import SupernetSchedules
+    from vit_search_tpu.search.batched_eval import make_tiled_correct_step
+
+    super_def = ((0, 16),
+                 (1, (16, 4, 4), (16, 32), 1),
+                 (2, 16, 2))
+    space = [np.array([16, 8]),
+             {"attn": np.array([16, 8]), "mlp": np.array([32, 16]),
+              "layer": None},
+             None]
+
+    class ProbeModel:
+        network_def = super_def
+        distill_token = False
+
+        def apply(self, variables, images, masks, deterministic=True):
+            per_ex = images.astype(jnp.float32).mean(axis=(1, 2, 3))
+            # class 1 wins iff the per-example mean is negative
+            return jnp.stack([per_ex, jnp.zeros_like(per_ex)], axis=-1)
+
+    schedules = SupernetSchedules(super_def, space, example_per_arch=1,
+                                  num_warmup_epochs=0, arch_mode="multi")
+    counts = schedules.counts_for_subnets([super_def])
+    counts = {"embed": jnp.asarray(counts["embed"]),
+              "slots": {s: {k: jnp.asarray(v) for k, v in site.items()}
+                        for s, site in counts["slots"].items()}}
+
+    images_u8 = np.full((6, 28, 28, 3), 100, np.uint8)
+    labels = np.ones(6, np.int32)   # correct iff normalization happened
+    valid = np.ones(6, np.float32)
+
+    step = make_tiled_correct_step(ProbeModel())
+    correct, total = step(None, None, jnp.asarray(images_u8),
+                          jnp.asarray(labels), jnp.asarray(valid), counts)
+    assert float(total) == 6.0
+    assert float(correct[0]) == 6.0  # uint8 batch was ImageNet-normalized
+
+    # already-float batches (the unit-test convention) pass through unscaled
+    images_f = np.full((6, 28, 28, 3), -1.0, np.float32)
+    correct_f, _ = step(None, None, jnp.asarray(images_f),
+                        jnp.asarray(labels), jnp.asarray(valid), counts)
+    assert float(correct_f[0]) == 6.0
+    images_f_pos = np.full((6, 28, 28, 3), 100.0, np.float32)
+    correct_p, _ = step(None, None, jnp.asarray(images_f_pos),
+                        jnp.asarray(labels), jnp.asarray(valid), counts)
+    assert float(correct_p[0]) == 0.0
+
+
 def test_batched_eval_sharded_over_mesh_matches_single_device():
     """Candidate scoring with sub-val batches sharded over the 8-device CPU
     mesh returns the same scores as unsharded scoring (reference

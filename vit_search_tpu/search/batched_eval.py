@@ -20,8 +20,16 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..data.loader import normalize_images
 from ..models.supernet import SupernetSchedules, build_arch_masks
 from ..parallel import shard_batch
+
+# The eval loader ships uint8 batches (4x smaller host->HBM transfers);
+# normalization happens on device inside the compiled step, with the same
+# ImageNet constants the train/eval engine uses (engine.TrainConfig —
+# the reference applies these in its GPU prefetcher, datasets.py:170-184).
+_IMAGENET_MEAN = (0.485, 0.456, 0.406)
+_IMAGENET_STD = (0.229, 0.224, 0.225)
 
 
 def _tile_counts(counts: Dict, batch: int) -> Dict:
@@ -59,6 +67,9 @@ def make_tiled_correct_step(model, score_head: str = "cls"):
         variables = {"params": params}
         if batch_stats:
             variables["batch_stats"] = batch_stats
+        if images.dtype == jnp.uint8:
+            # normalize BEFORE tiling: once per image instead of A times
+            images = normalize_images(images, _IMAGENET_MEAN, _IMAGENET_STD)
         a = jax.tree.leaves(counts)[0].shape[0]
         b = images.shape[0]
         images_t = jnp.tile(images, (a, 1, 1, 1))
