@@ -79,3 +79,35 @@ def test_seed_table_without_random_control(tmp_path):
     s["winner_final_acc1_by_seed"] = {"0": 30.0, "1": 31.0}
     txt = render(tmp_path, s)
     assert "Per-seed finals" in txt and "winner − random" not in txt
+
+
+def test_kendall_exact_p_matches_brute_force_and_published_case():
+    """The inversion-count DP equals brute-force permutation enumeration
+    at small n, handles the degenerate extremes, refuses ties, and
+    reproduces the published n=8 study figure (RESULTS_112px.md)."""
+    from itertools import permutations
+
+    from vit_search_tpu.tools.render_results import kendall_exact_one_sided_p
+
+    def brute(n, d_obs):
+        tot = ge = 0
+        base = list(range(n))
+        for p in permutations(base):
+            d = sum(1 for i in range(n) for j in range(i + 1, n)
+                    if p[i] > p[j])
+            tot += 1
+            ge += d <= d_obs
+        return ge / tot
+
+    for n in (3, 4, 5, 6):
+        pairs = n * (n - 1) // 2
+        for d in range(pairs + 1):
+            dp = kendall_exact_one_sided_p(n, pairs - d, d)
+            assert abs(dp - brute(n, d)) < 1e-12, (n, d)
+
+    # perfect concordance: p = 1/n!
+    assert kendall_exact_one_sided_p(4, 6, 0) == 1 / 24
+    # ties (C + D < pairs): exact null doesn't apply
+    assert kendall_exact_one_sided_p(4, 4, 1) is None
+    # the published study: n=8, 20 concordant / 8 discordant
+    assert abs(kendall_exact_one_sided_p(8, 20, 8) - 0.089435) < 5e-6

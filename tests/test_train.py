@@ -379,3 +379,37 @@ def test_step_sched_rejects_zero_decay_epochs():
 
     with pytest.raises(ValueError, match="decay-epochs"):
         lr_schedule(OptimConfig(sched="step", decay_epochs=0))
+
+
+def test_unpack_checkpoint_archive_rejects_tar_slip_and_reads_xz(tmp_path):
+    """--resume URL archives are untrusted input: a tar member with a ../
+    path must not escape the extraction dir (checkpoint.py extracts with
+    filter="data"), and every tarfile compression the gate admits
+    (.tar[.gz|.bz2|.xz]) must extract."""
+    import tarfile
+
+    from vit_search_tpu.train.checkpoint import unpack_checkpoint_archive
+
+    # a minimal orbax-looking checkpoint directory
+    src = tmp_path / "checkpoint"
+    src.mkdir()
+    (src / "_METADATA").write_text("{}")
+
+    for ext, mode in [("tar.xz", "w:xz"), ("tar.bz2", "w:bz2")]:
+        arch = tmp_path / f"good.{ext}"
+        with tarfile.open(arch, mode) as tf:
+            tf.add(src, arcname="checkpoint")
+        out = unpack_checkpoint_archive(str(arch))
+        assert out.endswith("checkpoint") and os.path.isdir(out)
+
+    evil = tmp_path / "evil.tar"
+    with tarfile.open(evil, "w") as tf:
+        tf.add(src / "_METADATA", arcname="../../escaped")
+        tf.add(src, arcname="checkpoint")
+    victim = tmp_path / "escaped"
+    try:
+        unpack_checkpoint_archive(str(evil))
+    except tarfile.FilterError:
+        pass  # rejecting the whole archive is also safe
+    assert not victim.exists()
+    assert not (tmp_path.parent / "escaped").exists()

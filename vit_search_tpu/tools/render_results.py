@@ -21,6 +21,32 @@ def spark(values, width: int = 60) -> str:
                    for v in values[:width])
 
 
+def kendall_exact_one_sided_p(n: int, concordant: int, discordant: int):
+    """Exact one-sided p-value for the observed Kendall S = C − D under
+    the permutation null (all n! orderings equally likely).
+
+    Valid only without ties (C + D must equal n·(n−1)/2); returns None
+    otherwise.  Under the null, the discordant-pair count D of a random
+    permutation is the inversion count, whose distribution has the
+    generating function  ∏_{k=0}^{n−1} (1 + x + … + x^k);  since
+    S = pairs − 2·D decreases monotonically in D,
+    P(S ≥ S_obs) = P(D ≤ D_obs).
+    """
+    pairs = n * (n - 1) // 2
+    if concordant + discordant != pairs:
+        return None  # ties: the inversion-count null doesn't apply
+    counts = [1]  # counts[d] = #permutations with d inversions
+    for k in range(1, n):
+        # multiply by (1 + x + ... + x^k)
+        new = [0] * (len(counts) + k)
+        for d, c in enumerate(counts):
+            for add in range(k + 1):
+                new[d + add] += c
+        counts = new
+    total = sum(counts)  # = n!
+    return sum(counts[: discordant + 1]) / total
+
+
 def table(curve, keys):
     rows = ["| epoch | " + " | ".join(keys) + " |",
             "|" + "---|" * (len(keys) + 1)]
@@ -153,10 +179,14 @@ range, each retrained from scratch with the identical recipe (one seed):
         for e in rc["entries"]:
             md += (f"| {e['history_rank']} | {e['fitness']:.2f}% "
                    f"| {e['mac'] / 1e9:.3f}G | {e['retrained_acc1']:.2f}% |\n")
+        p = kendall_exact_one_sided_p(len(rc["entries"]),
+                                      rc["concordant"], rc["discordant"])
+        p_note = (f"; one-sided p = {p:.3f} by the exact permutation "
+                  f"distribution" if p is not None else "")
         md += (f"\n**Kendall tau = {rc['kendall_tau']:.3f}** "
                f"({rc['concordant']} concordant / {rc['discordant']} "
-               f"discordant pairs): supernet holdout fitness orders "
-               f"retrained accuracy — the NAS proxy contract.\n")
+               f"discordant pairs{p_note}): supernet holdout fitness "
+               f"orders retrained accuracy — the NAS proxy contract.\n")
     md += f"""
 ## Definitions
 

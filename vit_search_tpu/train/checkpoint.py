@@ -72,7 +72,7 @@ class CheckpointManager:
 
 
 def unpack_checkpoint_archive(path: str) -> str:
-    """Extract a ``.zip``/``.tar[.gz]`` of an orbax checkpoint directory.
+    """Extract a ``.zip``/``.tar[.gz|.bz2|.xz]`` of an orbax checkpoint dir.
 
     Supports ``--resume http(s)://...`` (reference main.py:402-404 resumes
     from URLs via torch.hub): an orbax checkpoint is a *directory*, so over
@@ -83,14 +83,15 @@ def unpack_checkpoint_archive(path: str) -> str:
     import shutil
 
     lower = path.lower()
-    if not lower.endswith((".zip", ".tar", ".tar.gz", ".tgz")):
+    if not lower.endswith((".zip", ".tar", ".tar.gz", ".tgz",
+                           ".tar.bz2", ".tar.xz")):
         return path
     dest = path + ".extracted"
     marker = dest + ".ok"
     if not os.path.exists(marker):
         if os.path.isdir(dest):
             shutil.rmtree(dest)
-        if lower.endswith((".tar", ".tar.gz", ".tgz")):
+        if lower.endswith((".tar", ".tar.gz", ".tgz", ".tar.bz2", ".tar.xz")):
             # filter="data" rejects ../ and absolute member paths (tar-slip):
             # --resume URLs are untrusted input
             import tarfile
